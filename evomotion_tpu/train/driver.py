@@ -1,0 +1,159 @@
+"""Training and inference drivers.
+
+Reference: src/train.cpp:17-87 (episode loop, progress bar with windowed
+meters, save_<i>/ checkpoints every `episodes`), src/infer.cpp:19-106
+(checkpoint load + stepped rollout; the GL window becomes a headless
+trajectory recording).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def _progress(prefix: str, i: int, total: int, t0: float) -> None:
+    elapsed = time.time() - t0
+    eta = elapsed / max(i, 1) * (total - i)
+    sys.stdout.write(
+        f"\r{prefix} [{i}/{total}] elapsed {elapsed:5.1f}s eta {eta:5.1f}s  "
+    )
+    sys.stdout.flush()
+
+
+def train(env_seed, agent_factory, env_factory, episodes, nb_saves, output_path):
+    """Sequential reference-parity loop (train.cpp:17-87): one env, act/done
+    per step, save every `episodes` episodes into save_<i>/."""
+    env = env_factory.make(env_seed)
+    agent = agent_factory.create_agent(env.observation_size, env.action_size)
+    os.makedirs(output_path, exist_ok=True)
+
+    key = jax.random.PRNGKey(env_seed)
+    reset = jax.jit(env.reset)
+    step = jax.jit(env.step)
+
+    key, sub = jax.random.split(key)
+    state, res = reset(sub)
+    t0 = time.time()
+    for s in range(nb_saves):
+        for e in range(episodes):
+            while True:
+                action = agent.act(res.obs, float(res.reward))
+                state, res = step(state, action)
+                # skip settle-phase frames (the reference blocks inside
+                # reset(); here they arrive as invalid transitions)
+                while not bool(res.valid):
+                    state, res = step(state, np.zeros((env.action_size,), np.float32))
+                if bool(res.done):
+                    break
+            agent.done(res.obs, float(res.reward))
+            # after done, the env settles; fast-forward to the next episode's
+            # first valid observation (reference reset() returns it directly)
+            while not bool(res.valid):
+                state, res = step(state, np.zeros((env.action_size,), np.float32))
+            metrics = " ".join(m.to_string() for m in agent.get_metrics())
+            _progress(f"save {s} {metrics}", e + 1, episodes, t0)
+        save_dir = os.path.join(output_path, f"save_{s}")
+        os.makedirs(save_dir, exist_ok=True)
+        agent.save(save_dir)
+    print()
+    return 0
+
+
+def train_batched(
+    env_seed, env_factory, agent_params, num_envs, episodes, nb_saves, output_path,
+    agent_name="ppo_gae",
+):
+    """TPU-first batched trainer: N envs in lockstep, jitted rollout+update.
+
+    `episodes` is interpreted as train iterations per save (each iteration
+    covers horizon*num_envs env steps)."""
+    if agent_name not in ("ppo_gae", "ppo"):
+        raise SystemExit(f"batched training currently supports ppo_gae, not {agent_name}")
+    from ..train.ppo_batched import BatchedPpo, PpoConfig
+    from ..train.checkpoint import save_component
+
+    env = env_factory.make(env_seed)
+    g = lambda k, d: type(d)(agent_params[k]) if k in agent_params else d
+    cfg = PpoConfig(
+        hidden_size=g("hidden_size", 256),
+        gamma=g("gamma", 0.99),
+        lam=g("lambda", 0.95),
+        epsilon=g("epsilon", 0.2),
+        entropy_factor=g("entropy_factor", 0.01),
+        critic_loss_factor=g("critic_loss_factor", 0.5),
+        epoch=g("epoch", 8),
+        learning_rate=g("learning_rate", 1e-3),
+        clip_grad_norm=g("clip_grad_norm", 0.5),
+        horizon=g("horizon", 64),
+        n_envs=num_envs,
+    )
+    trainer = BatchedPpo(env, cfg, seed=g("seed", env_seed))
+    train_step = jax.jit(trainer.train_step_fn())
+    state = trainer.init()
+    os.makedirs(output_path, exist_ok=True)
+
+    t0 = time.time()
+    for s in range(nb_saves):
+        for e in range(episodes):
+            state, metrics = train_step(state)
+            if e % 10 == 0 or e == episodes - 1:
+                m = jax.tree.map(float, metrics)
+                steps_done = (s * episodes + e + 1) * cfg.horizon * num_envs
+                sps = steps_done / (time.time() - t0)
+                _progress(
+                    f"save {s} actor={m.actor_loss:.4f} critic={m.critic_loss:.4f} "
+                    f"r/step={m.mean_reward:.4f} {sps:,.0f} env-steps/s",
+                    e + 1, episodes, t0,
+                )
+        save_dir = os.path.join(output_path, f"save_{s}")
+        os.makedirs(save_dir, exist_ok=True)
+        save_component(save_dir, "actor", state.actor_params)
+        save_component(save_dir, "critic", state.critic_params)
+        save_component(save_dir, "actor_optimizer", state.actor_opt_state)
+        save_component(save_dir, "critic_optimizer", state.critic_opt_state)
+    print()
+    return 0
+
+
+def infer(env_seed, agent_factory, env_factory, input_path, episodes=1, record_path=None):
+    """Checkpoint rollout (infer.cpp) with optional trajectory recording."""
+    env = env_factory.make(env_seed)
+    agent = agent_factory.create_agent(env.observation_size, env.action_size)
+    agent.load(input_path)
+    agent.set_eval(True)
+
+    reset = jax.jit(env.reset)
+    step = jax.jit(env.step)
+    recorder = None
+    if record_path is not None:
+        from ..viewer.recorder import TrajectoryRecorder
+
+        recorder = TrajectoryRecorder(env)
+
+    key = jax.random.PRNGKey(env_seed)
+    for ep in range(episodes):
+        key, sub = jax.random.split(key)
+        state, res = reset(sub)
+        total, steps = 0.0, 0
+        while True:
+            action = agent.act(res.obs, float(res.reward))
+            state, res = step(state, action)
+            while not bool(res.valid):
+                state, res = step(state, np.zeros((env.action_size,), np.float32))
+            if recorder is not None:
+                recorder.add(state)
+            total += float(res.reward)
+            steps += 1
+            if bool(res.done):
+                break
+        agent.done(res.obs, float(res.reward))
+        print(f"episode {ep}: {steps} steps, return {total:.3f}")
+    if recorder is not None:
+        recorder.save(record_path)
+        print(f"trajectory written to {record_path}")
+    return 0

@@ -1,0 +1,224 @@
+"""Batched PPO-GAE trainer — the TPU-first training path.
+
+Reference counterpart: the train driver loop (src/train.cpp:17-87) running ONE
+env sequentially with PpoGaeAgent (SURVEY §3.1/§3.5). TPU-native redesign:
+N environments advance in lockstep inside one jitted iteration —
+
+    rollout: lax.scan over T steps of [vmapped env.step + actor sample]
+    learn:   done-aware GAE over the [T, N] batch + `epoch` epochs of the
+             clipped-surrogate/critic update (same losses, clamps, and
+             normalization as the reference's PpoGaeAgent::train,
+             ppo_gae.cpp:117-190)
+
+Env transitions flagged invalid (settle phases, envs/base.py) are masked out
+of GAE and the losses, which reproduces the reference's trajectory masking
+(ppo_gae.cpp:127-132) in fixed shapes. Fixed-horizon rollouts bootstrap
+truncated episodes with the critic value — the standard batched-PPO treatment
+of the reference's per-episode trajectories.
+
+Multi-chip: `make_sharded_train_step` places the env batch over a mesh axis
+with params replicated; XLA inserts the gradient all-reduce (psum over the
+loss mean) automatically — see evomotion_tpu/parallel/mesh.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..networks import distributions as D
+from ..networks.modules import actor_apply, actor_init, critic_apply, critic_init
+
+
+@dataclasses.dataclass(frozen=True)
+class PpoConfig:
+    """Hyper-parameters; defaults are the reference baseline config
+    (BASELINE.md / README docker command)."""
+
+    hidden_size: int = 256
+    gamma: float = 0.99
+    lam: float = 0.95
+    epsilon: float = 0.2
+    entropy_factor: float = 0.01
+    critic_loss_factor: float = 0.5
+    epoch: int = 8
+    learning_rate: float = 1e-3
+    clip_grad_norm: float = 0.5
+    horizon: int = 64  # rollout length T per train iteration
+    n_envs: int = 1024
+
+
+class PpoTrainState(NamedTuple):
+    actor_params: Any
+    critic_params: Any
+    actor_opt_state: Any
+    critic_opt_state: Any
+    env_state: Any  # vmapped env state [N, ...]
+    obs: jnp.ndarray  # [N, S]
+    key: jnp.ndarray
+    iteration: jnp.ndarray
+
+
+class PpoMetrics(NamedTuple):
+    actor_loss: jnp.ndarray
+    critic_loss: jnp.ndarray
+    mean_reward: jnp.ndarray
+    episodes_done: jnp.ndarray
+    mean_episode_return: jnp.ndarray
+
+
+class BatchedPpo:
+    def __init__(self, env, config: PpoConfig = PpoConfig(), seed: int = 1234):
+        self.env = env
+        self.config = config
+        self.seed = seed
+        self.actor_opt = optax.chain(
+            optax.clip_by_global_norm(config.clip_grad_norm),
+            optax.adam(config.learning_rate),
+        )
+        self.critic_opt = optax.chain(
+            optax.clip_by_global_norm(config.clip_grad_norm),
+            optax.adam(config.learning_rate),
+        )
+
+    def init(self, key=None) -> PpoTrainState:
+        cfg = self.config
+        key = jax.random.PRNGKey(self.seed) if key is None else key
+        ka, kc, ke, key = jax.random.split(key, 4)
+        actor_params = actor_init(
+            ka, self.env.observation_size, self.env.action_size, cfg.hidden_size
+        )
+        critic_params = critic_init(kc, self.env.observation_size, cfg.hidden_size)
+        env_keys = jax.random.split(ke, cfg.n_envs)
+        env_state, first = jax.vmap(self.env.reset)(env_keys)
+        return PpoTrainState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            actor_opt_state=self.actor_opt.init(actor_params),
+            critic_opt_state=self.critic_opt.init(critic_params),
+            env_state=env_state,
+            obs=first.obs,
+            key=key,
+            iteration=jnp.int32(0),
+        )
+
+    def rollout_fn(self):
+        """(state) -> (state, trajectory arrays [T, N, ...]) — also used alone
+        by the throughput benchmark."""
+        env_step = jax.vmap(self.env.step)
+        cfg = self.config
+
+        def rollout(state: PpoTrainState):
+            def step(carry, key):
+                env_state, obs = carry
+                mu, sigma = actor_apply(state.actor_params, obs)
+                action = D.truncated_normal_sample(key, mu, sigma)
+                log_prob = D.truncated_normal_log_pdf(action, mu, sigma)
+                value = critic_apply(state.critic_params, obs)
+                env_state, res = env_step(env_state, action)
+                out = (obs, action, log_prob, value, res.reward, res.done, res.valid)
+                return (env_state, res.obs), out
+
+            keys = jax.random.split(state.key, cfg.horizon + 1)
+            (env_state, last_obs), traj = jax.lax.scan(
+                step, (state.env_state, state.obs), keys[1:]
+            )
+            state = state._replace(env_state=env_state, obs=last_obs, key=keys[0])
+            return state, traj
+
+        return rollout
+
+    def train_step_fn(self):
+        cfg = self.config
+        rollout = self.rollout_fn()
+
+        def train_step(state: PpoTrainState):
+            state, traj = rollout(state)
+            obs, actions, log_probs, values, rewards, dones, valids = traj
+            # shapes: [T, N, ...]; rewards/dones/valids [T, N]
+            rewards = rewards[..., None]
+            donesf = dones[..., None].astype(jnp.float32)
+            maskf = valids[..., None].astype(jnp.float32)
+
+            bootstrap = critic_apply(state.critic_params, state.obs)  # [N, 1]
+            next_values = jnp.concatenate([values[1:], bootstrap[None]], axis=0)
+            # value of an invalid (settling) next step must not leak in;
+            # those boundaries are closed by done=1 at the terminal step
+            deltas = rewards + cfg.gamma * (1.0 - donesf) * next_values - values
+            deltas = deltas * maskf
+
+            def gae_step(carry, xs):
+                delta_t, done_t, mask_t = xs
+                g = delta_t + cfg.gamma * cfg.lam * (1.0 - done_t) * mask_t * carry
+                return g, g
+
+            _, adv_rev = jax.lax.scan(
+                gae_step,
+                jnp.zeros_like(deltas[0]),
+                (jnp.flip(deltas, 0), jnp.flip(donesf, 0), jnp.flip(maskf, 0)),
+            )
+            advantages = jnp.flip(adv_rev, 0)
+
+            n = jnp.maximum(maskf.sum(), 1.0)
+            mean = (advantages * maskf).sum() / n
+            var = (((advantages - mean) ** 2) * maskf).sum() / jnp.maximum(n - 1.0, 1.0)
+            advantages = (advantages - mean) / (jnp.sqrt(var) + 1e-8)
+            returns = advantages + values  # reference quirk: normalized adv
+            n_act = n * actions.shape[-1]
+
+            def epoch_step(carry, _):
+                a_params, a_opt, c_params, c_opt = carry
+
+                def actor_loss_fn(ap):
+                    mu, sigma = actor_apply(ap, obs)
+                    lp = D.truncated_normal_log_pdf(actions, mu, sigma)
+                    entropy = D.truncated_normal_entropy(mu, sigma)
+                    ratios = jnp.exp(lp - log_probs)
+                    s1 = ratios * advantages
+                    s2 = jnp.clip(ratios, 1.0 - cfg.epsilon, 1.0 + cfg.epsilon) * advantages
+                    obj = jnp.minimum(s1, s2) + cfg.entropy_factor * entropy
+                    return -(obj * maskf).sum() / n_act
+
+                a_loss, a_grads = jax.value_and_grad(actor_loss_fn)(a_params)
+                au, a_opt = self.actor_opt.update(a_grads, a_opt, a_params)
+                a_params = optax.apply_updates(a_params, au)
+
+                def critic_loss_fn(cp):
+                    v = critic_apply(cp, obs)
+                    return cfg.critic_loss_factor * (((v - returns) ** 2) * maskf).sum() / n
+
+                c_loss, c_grads = jax.value_and_grad(critic_loss_fn)(c_params)
+                cu, c_opt = self.critic_opt.update(c_grads, c_opt, c_params)
+                c_params = optax.apply_updates(c_params, cu)
+                return (a_params, a_opt, c_params, c_opt), (a_loss, c_loss)
+
+            (a_params, a_opt, c_params, c_opt), (a_losses, c_losses) = jax.lax.scan(
+                epoch_step,
+                (state.actor_params, state.actor_opt_state,
+                 state.critic_params, state.critic_opt_state),
+                None,
+                length=cfg.epoch,
+            )
+            state = state._replace(
+                actor_params=a_params,
+                actor_opt_state=a_opt,
+                critic_params=c_params,
+                critic_opt_state=c_opt,
+                iteration=state.iteration + 1,
+            )
+            n_done = dones.sum()
+            metrics = PpoMetrics(
+                actor_loss=a_losses.mean(),
+                critic_loss=c_losses.mean(),
+                mean_reward=(rewards[..., 0] * maskf[..., 0]).sum() / n,
+                episodes_done=n_done,
+                mean_episode_return=(rewards[..., 0] * maskf[..., 0]).sum()
+                / jnp.maximum(n_done, 1.0),
+            )
+            return state, metrics
+
+        return train_step

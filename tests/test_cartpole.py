@@ -17,7 +17,7 @@ def _rollout(env, state, policy_keys):
 
         return jax.lax.scan(body, state, keys)
 
-    return run(state, policy_keys)
+    return run(state, policy_keys)[1]
 
 
 def test_reset_obs_shape_and_sanity():
