@@ -215,6 +215,16 @@ def bn_q_net_apply(params: Params, state: Params, s, a, training: bool):
 # --- misc helpers ----------------------------------------------------------
 
 
+def exp_module(x):
+    """ExpModule (networks/misc.cpp — unused helper in the reference)."""
+    return jnp.exp(x)
+
+
+def clamp_module(x, min_value: float, max_value: float):
+    """ClampModule (networks/misc.cpp)."""
+    return jnp.clip(x, min_value, max_value)
+
+
 def count_parameters(params) -> int:
     return sum(int(p.size) for p in jax.tree.leaves(params))
 

@@ -21,6 +21,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Bring up the multi-host process group (jax.distributed).
+
+    Reference has no multi-process story (single process always, SURVEY §2.5);
+    this is the TPU-native scale-out entry: each host contributes its local
+    chips to the global mesh, env shards stay host-local, and gradient psum
+    rides ICI within a slice / DCN across slices. On single-host runs this is
+    a no-op (call only when spanning hosts)."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_env_mesh(devices=None, axis_name: str = "env") -> Mesh:
     devices = jax.devices() if devices is None else devices
     return Mesh(np.array(devices), (axis_name,))

@@ -217,6 +217,10 @@ def build_joint_rows(
     inf = jnp.inf
 
     def emit(idx_a, idx_b, j, rhs, lo, hi):
+        """Emit one KIND's rows, [n_blocks, rows_per_block, ...]: flattening
+        must produce block-major row order (all rows of block 0, then block 1,
+        ...) because the solver's phase schedule (model._row_schedule) indexes
+        rows as base + block * rows_per_block + r."""
         parts_ja.append(idx_a.reshape(-1))
         parts_jb.append(idx_b.reshape(-1))
         parts_j.append(j.reshape(-1, 4, 3))
@@ -228,8 +232,8 @@ def build_joint_rows(
 
     # ---- p2p (btPoint2PointConstraint::getInfo2) ----
     if model.n_p2p:
-        ia = model_arr(model.p2p_body[:, 0])
-        ib = model_arr(model.p2p_body[:, 1])
+        ia = model.p2p_body[:, 0]  # static numpy -> constant gathers
+        ib = model.p2p_body[:, 1]
         piv = model_arr(model.p2p_pivot)
         pa = pos[ia] + maths.quat_rotate(quat[ia], piv[:, 0])
         pb = pos[ib] + maths.quat_rotate(quat[ib], piv[:, 1])
@@ -242,8 +246,8 @@ def build_joint_rows(
 
     # ---- hinge (btHingeConstraint::getInfo2Internal) ----
     if model.n_hinge:
-        ia = model_arr(model.hinge_body[:, 0])
-        ib = model_arr(model.hinge_body[:, 1])
+        ia = model.hinge_body[:, 0]
+        ib = model.hinge_body[:, 1]
         piv = model_arr(model.hinge_pivot)
         fq = model_arr(model.hinge_frame_quat)
         lim = model_arr(model.hinge_limit)
@@ -258,14 +262,12 @@ def build_joint_rows(
 
         dirs = jnp.broadcast_to(eye3, (model.n_hinge, 3, 3))
         j_lin, c_lin = _point_rows(pa[:, None], pb[:, None], pos[ia][:, None], pos[ib][:, None], dirs)
-        emit(ia[:, None].repeat(3, 1), ib[:, None].repeat(3, 1), j_lin, -erp_dt * c_lin, -inf, inf)
 
         # axis alignment: u = ax_a x ax_b; rhs = k * (u . p/q)
         u = jnp.cross(ax_a, ax_b)
         dirs_ang = jnp.stack([p, q], axis=1)
         j_ang = _ang_rows(dirs_ang)
         rhs_ang = erp_dt * jnp.sum(u[:, None] * dirs_ang, -1)
-        emit(ia[:, None].repeat(2, 1), ib[:, None].repeat(2, 1), j_ang, rhs_ang, -inf, inf)
 
         # limit row about the hinge axis (btHingeConstraint::getHingeAngle /
         # testLimit): angle = atan2(swing . refX, swing . refY). Note Bullet's
@@ -289,19 +291,31 @@ def build_joint_rows(
         rhs_lim = HINGE_LIMIT_BIAS / dt * corr
         lo_b = jnp.where(has_limit & below, 0.0, jnp.where(has_limit & above, -inf, 0.0))
         hi_b = jnp.where(has_limit & below, inf, 0.0)
-        emit(ia[:, None], ib[:, None], j_lim[:, None], rhs_lim[:, None], lo_b[:, None], hi_b[:, None])
+
+        # assemble block-major: 6 rows per hinge (3 lin, 2 ang, 1 limit)
+        nh = model.n_hinge
+        j_all = jnp.concatenate([j_lin, j_ang, j_lim[:, None]], axis=1)
+        rhs_all = jnp.concatenate(
+            [-erp_dt * c_lin, rhs_ang, rhs_lim[:, None]], axis=1
+        )
+        lo_all = jnp.concatenate(
+            [jnp.full((nh, 5), -inf), lo_b[:, None]], axis=1
+        )
+        hi_all = jnp.concatenate(
+            [jnp.full((nh, 5), inf), hi_b[:, None]], axis=1
+        )
+        emit(ia[:, None].repeat(6, 1), ib[:, None].repeat(6, 1), j_all, rhs_all, lo_all, hi_all)
 
     # ---- fixed (btFixedConstraint: 6 locked rows) ----
     if model.n_fixed:
-        ia = model_arr(model.fixed_body[:, 0])
-        ib = model_arr(model.fixed_body[:, 1])
+        ia = model.fixed_body[:, 0]
+        ib = model.fixed_body[:, 1]
         piv = model_arr(model.fixed_pivot)
         fq = model_arr(model.fixed_frame_quat)
         pa = pos[ia] + maths.quat_rotate(quat[ia], piv[:, 0])
         pb = pos[ib] + maths.quat_rotate(quat[ib], piv[:, 1])
         dirs = jnp.broadcast_to(eye3, (model.n_fixed, 3, 3))
         j_lin, c_lin = _point_rows(pa[:, None], pb[:, None], pos[ia][:, None], pos[ib][:, None], dirs)
-        emit(ia[:, None].repeat(3, 1), ib[:, None].repeat(3, 1), j_lin, -erp_dt * c_lin, -inf, inf)
 
         qa_f = maths.quat_mul(quat[ia], fq[:, 0])
         qb_f = maths.quat_mul(quat[ib], fq[:, 1])
@@ -309,13 +323,16 @@ def build_joint_rows(
         j_ang = _ang_rows(dirs)
         # C = err (B rel A), Cdot = w_b - w_a; our rows measure w_a - w_b
         rhs_ang = erp_dt * jnp.sum(err[:, None] * dirs, -1)
-        emit(ia[:, None].repeat(3, 1), ib[:, None].repeat(3, 1), j_ang, rhs_ang, -inf, inf)
+        # block-major: 6 rows per fixed constraint (3 lin + 3 ang)
+        j_all = jnp.concatenate([j_lin, j_ang], axis=1)
+        rhs_all = jnp.concatenate([-erp_dt * c_lin, rhs_ang], axis=1)
+        emit(ia[:, None].repeat(6, 1), ib[:, None].repeat(6, 1), j_all, rhs_all, -inf, inf)
 
     # ---- slider (btSliderConstraint::getInfo2NonVirtual) ----
     slider_lin_pos = jnp.zeros((model.n_slider,))
     if model.n_slider:
-        ia = model_arr(model.slider_body[:, 0])
-        ib = model_arr(model.slider_body[:, 1])
+        ia = model.slider_body[:, 0]
+        ib = model.slider_body[:, 1]
         piv = model_arr(model.slider_pivot)
         fq = model_arr(model.slider_frame_quat)
         lim = model_arr(model.slider_lin_limit)
@@ -337,14 +354,12 @@ def build_joint_rows(
         j_perp, c_perp = _point_rows(
             pa[:, None], pb[:, None], pos[ia][:, None], pos[ib][:, None], dirs_perp
         )
-        emit(ia[:, None].repeat(2, 1), ib[:, None].repeat(2, 1), j_perp, -erp_dt * c_perp, -inf, inf)
 
         # 3 angular lock rows (reference sliders always lock rotation)
         err = _rot_error_vec(qa_f, qb_f)
         dirs3 = jnp.broadcast_to(eye3, (model.n_slider, 3, 3))
         j_ang = _ang_rows(dirs3)
         rhs_ang = erp_dt * jnp.sum(err[:, None] * dirs3, -1)
-        emit(ia[:, None].repeat(3, 1), ib[:, None].repeat(3, 1), j_ang, rhs_ang, -inf, inf)
 
         # linear limit row along the axis. C = lin_pos; Cdot = axis . (vB - vA):
         # reuse point rows with direction -axis so Jdot v = -d(lin_pos)/dt,
@@ -373,14 +388,27 @@ def build_joint_rows(
             jnp.where(locked, inf, jnp.where(below, inf, jnp.where(above, 0.0, 0.0))),
             0.0,
         )
-        emit(ia[:, None], ib[:, None], j_axial[:, None], rhs_lim[:, None], lo_b[:, None], hi_b[:, None])
-
         # powered linear motor row (muscle.cpp:82-85 contract();
         # btTypedConstraint::getMotorFactor ramps near limits)
         mot_fact = _motor_factor(lin_pos, lo_l, hi_l, motor_target, 1.0 / dt)
         rhs_mot = mot_fact * motor_target
         imp = jnp.where(motor_enabled, max_f * dt, 0.0)
-        emit(ia[:, None], ib[:, None], j_axial[:, None], rhs_mot[:, None], -imp[:, None], imp[:, None])
+
+        # block-major: 7 rows per slider (2 perp, 3 ang, 1 limit, 1 motor)
+        ns = model.n_slider
+        j_all = jnp.concatenate(
+            [j_perp, j_ang, j_axial[:, None], j_axial[:, None]], axis=1
+        )
+        rhs_all = jnp.concatenate(
+            [-erp_dt * c_perp, rhs_ang, rhs_lim[:, None], rhs_mot[:, None]], axis=1
+        )
+        lo_all = jnp.concatenate(
+            [jnp.full((ns, 5), -inf), lo_b[:, None], -imp[:, None]], axis=1
+        )
+        hi_all = jnp.concatenate(
+            [jnp.full((ns, 5), inf), hi_b[:, None], imp[:, None]], axis=1
+        )
+        emit(ia[:, None].repeat(7, 1), ib[:, None].repeat(7, 1), j_all, rhs_all, lo_all, hi_all)
 
     idx_a = jnp.concatenate(parts_ja) if parts_ja else jnp.zeros((0,), jnp.int32)
     idx_b = jnp.concatenate(parts_jb) if parts_jb else jnp.zeros((0,), jnp.int32)
@@ -524,8 +552,10 @@ def detect_contacts(model: PhysicsModel, state: PhysicsState) -> _Contacts:
             friction=jnp.zeros((0,)),
         )
 
-    ia = jnp.asarray(pairs[:, 0])
-    ib = jnp.asarray(pairs[:, 1])
+    # static numpy indices: indexing with constants lowers to slices, not
+    # dynamic gathers
+    ia = pairs[:, 0]
+    ib = pairs[:, 1]
     hull = model_arr(model.hull)[ia]  # [NP, V, 3]
     hmask = model_arr(model.hull_mask)[ia]
     world = state.pos[ia][:, None, :] + maths.quat_rotate(
@@ -564,6 +594,26 @@ def detect_contacts(model: PhysicsModel, state: PhysicsState) -> _Contacts:
         vid=vid,
         friction=fric,
     )
+
+
+def _static_row_bodies(model: PhysicsModel) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (body_a, body_b) in the canonical flat row layout, as static
+    numpy — mirrors build_joint_rows' emission order exactly."""
+    idx_a, idx_b = [], []
+
+    def emit(a, b, count):
+        idx_a.extend([int(a)] * count)
+        idx_b.extend([int(b)] * count)
+
+    for a, b in model.p2p_body:
+        emit(a, b, 3)
+    for a, b in model.hinge_body:
+        emit(a, b, 6)
+    for a, b in model.fixed_body:
+        emit(a, b, 6)
+    for a, b in model.slider_body:
+        emit(a, b, 7)
+    return np.array(idx_a, np.int32), np.array(idx_b, np.int32)
 
 
 def _warm_start_match(contacts: _Contacts, state: PhysicsState) -> jnp.ndarray:
@@ -649,6 +699,25 @@ def physics_step(
         # approach at gap/dt; penetration is resolved in the position pass
         rhs_n = jnp.where(contacts.gap > 0, -contacts.gap / dt, 0.0)
 
+        # STATIC one-hot scatter/gather matrices: contact pairs are model
+        # constants, so body gathers/scatters become dense einsums (TPU
+        # scatter lowers to a slow serialized path — avoid it in hot loops)
+        pair_np = model.pair_body
+        static_sel = model.inv_mass[pair_np[:, 1]] == 0.0
+        body_np = pair_np[static_sel][:, 0]
+        oh_c = np.zeros((len(body_np), model.n_bodies), dtype=np.float32)
+        oh_c[np.arange(len(body_np)), body_np] = 1.0
+        oh_c = jnp.asarray(oh_c)  # [NP, NB]
+
+        def c_gather(v6):
+            return oh_c @ v6  # [NP, 6]
+
+        def c_scatter(dv_lin_k, dv_ang_k, d):
+            # [NP, 3] contributions scattered back to bodies
+            return oh_c.T @ jnp.concatenate(
+                [dv_lin_k * d[:, None], dv_ang_k * d[:, None]], axis=-1
+            )
+
         # 4. split-impulse position pass (solveGroupCacheFriendlySplitImpulse)
         rhs_push = jnp.where(contacts.gap < 0, -contacts.gap * ERP2 / dt, 0.0)
         push6 = jnp.zeros_like(vel6)
@@ -656,15 +725,13 @@ def physics_step(
         def push_iter(_, carry):
             push6, lam_p = carry
             for kk in range(k):
-                b = contacts.body
-                v = push6[b]
+                v = c_gather(push6)
                 jv = jnp.sum(jn[:, kk, 0] * v[:, :3], -1) + jnp.sum(jn[:, kk, 1] * v[:, 3:], -1)
                 delta = (rhs_push[:, kk] - jv) * inv_eff_n[:, kk] * act[:, kk]
                 new_l = jnp.maximum(lam_p[:, kk] + delta, 0.0)
                 d = new_l - lam_p[:, kk]
                 lam_p = lam_p.at[:, kk].set(new_l)
-                push6 = push6.at[b, :3].add(dvn_lin[:, kk] * d[:, None])
-                push6 = push6.at[b, 3:].add(dvn_ang[:, kk] * d[:, None])
+                push6 = push6 + c_scatter(dvn_lin[:, kk], dvn_ang[:, kk], d)
             return push6, lam_p
 
         push6, _ = jax.lax.fori_loop(
@@ -674,7 +741,6 @@ def physics_step(
         # warm start contact impulses
         lam_n0 = warm_lam[..., 0]
         lam_t0 = warm_lam[..., 1:]
-        b = contacts.body
         imp_lin = (
             dvn_lin * lam_n0[..., None]
             + dvt1_lin * lam_t0[..., 0:1]
@@ -685,72 +751,120 @@ def physics_step(
             + dvt1_ang * lam_t0[..., 0:1]
             + dvt2_ang * lam_t0[..., 1:2]
         ).sum(1)
-        vel6 = vel6.at[b, :3].add(imp_lin)
-        vel6 = vel6.at[b, 3:].add(imp_ang)
+        vel6 = vel6 + oh_c.T @ jnp.concatenate([imp_lin, imp_ang], axis=-1)
     else:
         push6 = jnp.zeros_like(vel6)
         lam_n0 = jnp.zeros((0, k))
         lam_t0 = jnp.zeros((0, k, 2))
 
-    # 5. velocity iterations: joints (colored phases) then contacts
-    phases = [jnp.asarray(p) for p in model.row_phases]
+    # 5. velocity iterations: joints (colored phases) then contacts.
+    # Everything index-dependent is precomputed as STATIC one-hot matrices and
+    # the row data is regrouped phase-major, so each Gauss-Seidel phase is a
+    # handful of dense (MXU-friendly) einsums — no gather/scatter in the hot
+    # loop, and a fori_loop over phases keeps the HLO small.
     n_rows = model.n_rows
+    n_phases = int(model.phase_table.shape[0])
+
+    if n_phases:
+        r_max = int(model.phase_table.shape[1])
+        # pad flat rows with one dummy zero row; regroup phase-major once
+        table = model.phase_table.reshape(-1)  # static numpy indices
+
+        def regroup(x):
+            padded = jnp.concatenate([x, jnp.zeros_like(x[:1])], 0)
+            return padded[table].reshape((n_phases, r_max) + x.shape[1:])
+
+        j_p = regroup(rows.j)  # [P, R, 4, 3]
+        dva_p = regroup(rows.dv_a)  # [P, R, 2, 3]
+        dvb_p = regroup(rows.dv_b)
+        inv_eff_p = regroup(rows.inv_eff)  # [P, R]
+        rhs_p = regroup(rows.rhs)
+        lo_p = regroup(rows.lo)
+        hi_p = regroup(rows.hi)
+        # one-hot body selectors per phase row (zero rows for padding)
+        pad_ids = model.phase_table  # [P, R] with n_rows = padding
+        oh_a_np = np.zeros((n_phases, r_max, model.n_bodies), dtype=np.float32)
+        oh_b_np = np.zeros((n_phases, r_max, model.n_bodies), dtype=np.float32)
+        idx_a_flat, idx_b_flat = _static_row_bodies(model)
+        for p in range(n_phases):
+            for s in range(r_max):
+                rid = int(pad_ids[p, s])
+                if rid < n_rows:
+                    oh_a_np[p, s, idx_a_flat[rid]] = 1.0
+                    oh_b_np[p, s, idx_b_flat[rid]] = 1.0
+        oh_a = jnp.asarray(oh_a_np)
+        oh_b = jnp.asarray(oh_b_np)
+
+        def _solve_phase(p, carry):
+            vel6, lam = carry
+            jp = jax.lax.dynamic_index_in_dim(j_p, p, keepdims=False)
+            da = jax.lax.dynamic_index_in_dim(dva_p, p, keepdims=False)
+            db = jax.lax.dynamic_index_in_dim(dvb_p, p, keepdims=False)
+            oa = jax.lax.dynamic_index_in_dim(oh_a, p, keepdims=False)  # [R, NB]
+            ob = jax.lax.dynamic_index_in_dim(oh_b, p, keepdims=False)
+            ie = jax.lax.dynamic_index_in_dim(inv_eff_p, p, keepdims=False)
+            rh = jax.lax.dynamic_index_in_dim(rhs_p, p, keepdims=False)
+            lo = jax.lax.dynamic_index_in_dim(lo_p, p, keepdims=False)
+            hi = jax.lax.dynamic_index_in_dim(hi_p, p, keepdims=False)
+            lam_p = jax.lax.dynamic_index_in_dim(lam, p, keepdims=False)
+
+            va = oa @ vel6  # [R, 6]
+            vb = ob @ vel6
+            jv = (
+                jnp.sum(jp[:, 0] * va[:, :3], -1)
+                + jnp.sum(jp[:, 1] * va[:, 3:], -1)
+                + jnp.sum(jp[:, 2] * vb[:, :3], -1)
+                + jnp.sum(jp[:, 3] * vb[:, 3:], -1)
+            )
+            delta = (rh - jv) * ie
+            new_l = jnp.clip(lam_p + delta, lo, hi)
+            d = new_l - lam_p
+            lam = jax.lax.dynamic_update_index_in_dim(lam, new_l, p, 0)
+            dva6 = jnp.concatenate([da[:, 0] * d[:, None], da[:, 1] * d[:, None]], -1)
+            dvb6 = jnp.concatenate([db[:, 0] * d[:, None], db[:, 1] * d[:, None]], -1)
+            vel6 = vel6 + oa.T @ dva6 + ob.T @ dvb6
+            return vel6, lam
 
     def vel_iter(_, carry):
         vel6, lam, lam_n, lam_t = carry
-        # joint phases
-        for ph in phases:
-            a = rows.idx_a[ph]
-            b2 = rows.idx_b[ph]
-            va = vel6[a]
-            vb = vel6[b2]
-            jv = (
-                jnp.sum(rows.j[ph, 0] * va[:, :3], -1)
-                + jnp.sum(rows.j[ph, 1] * va[:, 3:], -1)
-                + jnp.sum(rows.j[ph, 2] * vb[:, :3], -1)
-                + jnp.sum(rows.j[ph, 3] * vb[:, 3:], -1)
-            )
-            delta = (rows.rhs[ph] - jv) * rows.inv_eff[ph]
-            new_l = jnp.clip(lam[ph] + delta, rows.lo[ph], rows.hi[ph])
-            d = new_l - lam[ph]
-            lam = lam.at[ph].set(new_l)
-            vel6 = vel6.at[a, :3].add(rows.dv_a[ph, 0] * d[:, None])
-            vel6 = vel6.at[a, 3:].add(rows.dv_a[ph, 1] * d[:, None])
-            vel6 = vel6.at[b2, :3].add(rows.dv_b[ph, 0] * d[:, None])
-            vel6 = vel6.at[b2, 3:].add(rows.dv_b[ph, 1] * d[:, None])
+        if n_phases:  # static: models without joints skip the phase loop
+            vel6, lam = jax.lax.fori_loop(0, n_phases, _solve_phase, (vel6, lam))
 
         if n_pair:
-            b = contacts.body
             # contact normals (slot loop: same-pair slots share the body)
             for kk in range(k):
-                v = vel6[b]
+                v = c_gather(vel6)
                 jv = jnp.sum(jn[:, kk, 0] * v[:, :3], -1) + jnp.sum(jn[:, kk, 1] * v[:, 3:], -1)
                 delta = (rhs_n[:, kk] - jv) * inv_eff_n[:, kk] * act[:, kk]
                 new_l = jnp.maximum(lam_n[:, kk] + delta, 0.0)
                 d = new_l - lam_n[:, kk]
                 lam_n = lam_n.at[:, kk].set(new_l)
-                vel6 = vel6.at[b, :3].add(dvn_lin[:, kk] * d[:, None])
-                vel6 = vel6.at[b, 3:].add(dvn_ang[:, kk] * d[:, None])
+                vel6 = vel6 + c_scatter(dvn_lin[:, kk], dvn_ang[:, kk], d)
             # friction, clamped to mu * normal impulse
             for kk in range(k):
                 lim = contacts.friction * lam_n[:, kk]
                 for ti, (jt, dvl, dva, ie) in enumerate(
                     ((jt1, dvt1_lin, dvt1_ang, inv_eff_t1), (jt2, dvt2_lin, dvt2_ang, inv_eff_t2))
                 ):
-                    v = vel6[b]
+                    v = c_gather(vel6)
                     jv = jnp.sum(jt[:, kk, 0] * v[:, :3], -1) + jnp.sum(jt[:, kk, 1] * v[:, 3:], -1)
                     delta = (0.0 - jv) * ie[:, kk] * act[:, kk]
                     new_l = jnp.clip(lam_t[:, kk, ti] + delta, -lim, lim)
                     d = new_l - lam_t[:, kk, ti]
                     lam_t = lam_t.at[:, kk, ti].set(new_l)
-                    vel6 = vel6.at[b, :3].add(dvl[:, kk] * d[:, None])
-                    vel6 = vel6.at[b, 3:].add(dva[:, kk] * d[:, None])
+                    vel6 = vel6 + c_scatter(dvl[:, kk], dva[:, kk], d)
         return vel6, lam, lam_n, lam_t
 
-    lam0 = jnp.zeros((n_rows,))
-    vel6, lam, lam_n, lam_t = jax.lax.fori_loop(
-        0, model.n_iterations, vel_iter, (vel6, lam0, lam_n0, lam_t0)
+    lam_pm0 = jnp.zeros((max(n_phases, 1), int(model.phase_table.shape[1])))
+    vel6, lam_pm, lam_n, lam_t = jax.lax.fori_loop(
+        0, model.n_iterations, vel_iter, (vel6, lam_pm0, lam_n0, lam_t0)
     )
+    # flatten phase-major impulses back to row order for diagnostics
+    if n_phases:
+        rps = model.row_phase_slot  # static numpy [n_rows, 2]
+        lam = lam_pm[rps[:, 0], rps[:, 1]]
+    else:
+        lam = jnp.zeros((n_rows,))
 
     lin_vel = vel6[:, :3]
     ang_vel = vel6[:, 3:]
@@ -778,7 +892,7 @@ def physics_step(
     floor_contact = jnp.zeros((model.n_bodies,))
     if n_pair:
         touching = (contacts.active & (contacts.gap < 0)).any(axis=1)
-        floor_contact = floor_contact.at[contacts.body].max(touching.astype(jnp.float32))
+        floor_contact = jnp.clip(oh_c.T @ touching.astype(jnp.float32), 0.0, 1.0)
         new_cl = jnp.stack([lam_n, lam_t[..., 0], lam_t[..., 1]], axis=-1)
         new_vid = jnp.where(contacts.active, contacts.vid, -1)
     else:

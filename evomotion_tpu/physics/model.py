@@ -132,6 +132,12 @@ class PhysicsModel:
     # and are solved as one vectorized Gauss-Seidel step. Row-id layout:
     # p2p 3/block, hinge 6/block, fixed 6/block, slider 7/block (see engine).
     row_phases: tuple[np.ndarray, ...]
+    # padded phase table [n_phases, max_rows]: same schedule as row_phases but
+    # rectangular so the solver can fori_loop over phases (small HLO, fast
+    # compile); padding points at the dummy row n_rows (zero effective mass)
+    phase_table: np.ndarray
+    # inverse mapping row id -> (phase, slot) for reading impulses back out
+    row_phase_slot: np.ndarray  # [n_rows, 2]
     n_rows: int
     n_iterations: int = 10
 
@@ -393,6 +399,17 @@ class ModelBuilder:
     def finalize(self) -> PhysicsModel:
         colors = self._color_blocks()
         phases, n_rows = self._row_schedule(colors)
+        if phases:
+            max_rows = max(len(p) for p in phases)
+            phase_table = np.full((len(phases), max_rows), n_rows, dtype=np.int32)
+            row_phase_slot = np.zeros((n_rows, 2), dtype=np.int32)
+            for i, p in enumerate(phases):
+                phase_table[i, : len(p)] = p
+                for s, rid in enumerate(p):
+                    row_phase_slot[rid] = (i, s)
+        else:
+            phase_table = np.zeros((0, 1), dtype=np.int32)
+            row_phase_slot = np.zeros((n_rows, 2), dtype=np.int32)
         nb = len(self.bodies)
         vmax = max((len(b.hull) for b in self.bodies), default=1)
         hull = np.zeros((nb, vmax, 3), dtype=np.float32)
@@ -448,6 +465,8 @@ class ModelBuilder:
             pair_body=self._collision_pairs(),
             color_groups=colors,
             row_phases=phases,
+            phase_table=phase_table,
+            row_phase_slot=row_phase_slot,
             n_rows=n_rows,
         )
 

