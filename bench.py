@@ -17,10 +17,16 @@ import jax.numpy as jnp
 def main():
     n_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 120
+    solver = sys.argv[3] if len(sys.argv) > 3 else "pallas"
+
+    import dataclasses
 
     from evomotion_tpu.envs.robot import RobotWalk
 
     env = RobotWalk()
+    if jax.default_backend() != "tpu":
+        solver = "xla"  # the fused kernel targets real TPUs
+    env.model = dataclasses.replace(env.model, solver=solver)
     reset = jax.vmap(env.reset)
     step = jax.vmap(env.step)
 

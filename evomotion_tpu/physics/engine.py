@@ -616,6 +616,106 @@ def _static_row_bodies(model: PhysicsModel) -> tuple[np.ndarray, np.ndarray]:
     return np.array(idx_a, np.int32), np.array(idx_b, np.int32)
 
 
+_PALLAS_SOLVERS: dict = {}
+
+
+def _get_pallas_solver(model: PhysicsModel, kind: str, n_pair: int):
+    """custom_vmap-wrapped fused sweep for this model (cached).
+
+    kind: "full" (joints + contact normal + friction rows, Bullet order) or
+    "push" (contact normal rows only — the split-impulse position pass).
+    The single-env call pads to one kernel tile; under vmap the batch rule
+    pads the env batch to a multiple of the tile and runs one kernel."""
+    key = (id(model), kind, n_pair)
+    if key in _PALLAS_SOLVERS:
+        return _PALLAS_SOLVERS[key]
+
+    from . import solver_pallas as sp
+
+    k = MAX_CONTACTS_PER_PAIR
+    nrj = model.n_rows if kind == "full" else 0
+    if kind == "full":
+        ja, jb = _static_row_bodies(model)
+        pair_np = model.pair_body
+        static_sel = model.inv_mass[pair_np[:, 1]] == 0.0
+        body_np = pair_np[static_sel][:, 0]
+        fric_np = np.clip(
+            model.friction[body_np] * model.friction[pair_np[static_sel][:, 1]], 0, 10
+        )
+        # order: joints | normals (pair-major, slot) | frictions (pair, slot, dir)
+        idx6_a = np.concatenate([ja * 6, np.repeat(body_np, k) * 6, np.repeat(body_np, 2 * k) * 6])
+        idx6_b = np.concatenate([jb * 6, np.zeros(n_pair * k, np.int32), np.zeros(n_pair * 2 * k, np.int32)])
+        normal_ids = nrj + np.arange(n_pair * k)
+        parent = np.concatenate(
+            [np.full(nrj + n_pair * k, -1, np.int32), np.repeat(normal_ids, 2).astype(np.int32)]
+        )
+        mu = np.concatenate(
+            [np.zeros(nrj + n_pair * k, np.float32), np.repeat(fric_np, 2 * k).astype(np.float32)]
+        )
+    else:
+        pair_np = model.pair_body
+        static_sel = model.inv_mass[pair_np[:, 1]] == 0.0
+        body_np = pair_np[static_sel][:, 0]
+        idx6_a = np.repeat(body_np, k) * 6
+        idx6_b = np.zeros(n_pair * k, np.int32)
+        parent = np.full(n_pair * k, -1, np.int32)
+        mu = np.zeros(n_pair * k, np.float32)
+
+    n_iters = model.n_iterations
+    interpret = jax.default_backend() != "tpu"
+
+    @jax.custom_batching.custom_vmap
+    def solve(row_data, vel6, lam0):
+        # unbatched call: pad to one kernel tile
+        rd = jnp.broadcast_to(row_data, (sp.TILE,) + row_data.shape) * 0
+        rd = rd.at[0].set(row_data)
+        v6 = jnp.zeros((sp.TILE,) + vel6.shape).at[0].set(vel6)
+        l0 = jnp.zeros((sp.TILE,) + lam0.shape).at[0].set(lam0)
+        v, l = sp.solver_sweep(
+            rd, v6, l0, idx6_a, idx6_b, parent, mu, n_iters, interpret=interpret
+        )
+        return v[0], l[0]
+
+    @solve.def_vmap
+    def _solve_vmap(axis_size, in_batched, row_data, vel6, lam0):
+        # closure-constant args (e.g. the zero velocity buffer of the push
+        # pass) arrive unbatched — broadcast them to the batch
+        rb, vb, lb = in_batched
+        if not rb:
+            row_data = jnp.broadcast_to(row_data, (axis_size,) + row_data.shape)
+        if not vb:
+            vel6 = jnp.broadcast_to(vel6, (axis_size,) + vel6.shape)
+        if not lb:
+            lam0 = jnp.broadcast_to(lam0, (axis_size,) + lam0.shape)
+        b = row_data.shape[0]
+        pad = (-b) % sp.TILE
+        if pad:
+            row_data = jnp.concatenate([row_data, jnp.zeros((pad,) + row_data.shape[1:])], 0)
+            vel6 = jnp.concatenate([vel6, jnp.zeros((pad,) + vel6.shape[1:])], 0)
+            lam0 = jnp.concatenate([lam0, jnp.zeros((pad,) + lam0.shape[1:])], 0)
+        v, l = sp.solver_sweep(
+            row_data, vel6, lam0, idx6_a, idx6_b, parent, mu, n_iters,
+            interpret=interpret,
+        )
+        return (v[:b], l[:b]), (True, True)
+
+    _PALLAS_SOLVERS[key] = solve
+    return solve
+
+
+def _pack_rows(j, dv_a, dv_b, rhs, lo, hi, inv_eff):
+    """Pack row pieces into the kernel's [NR, 28] layout (solver_pallas)."""
+    return jnp.concatenate(
+        [
+            j.reshape(j.shape[:-2] + (12,)),
+            dv_a.reshape(dv_a.shape[:-2] + (6,)),
+            dv_b.reshape(dv_b.shape[:-2] + (6,)),
+            rhs[..., None], lo[..., None], hi[..., None], inv_eff[..., None],
+        ],
+        axis=-1,
+    )
+
+
 def _warm_start_match(contacts: _Contacts, state: PhysicsState) -> jnp.ndarray:
     """Carry cached impulses for persisting contact points (vertex-id match)."""
     old_vid = state.contact_vid  # [NP, K]
@@ -720,23 +820,36 @@ def physics_step(
 
         # 4. split-impulse position pass (solveGroupCacheFriendlySplitImpulse)
         rhs_push = jnp.where(contacts.gap < 0, -contacts.gap * ERP2 / dt, 0.0)
-        push6 = jnp.zeros_like(vel6)
+        dv_n = jnp.stack([dvn_lin, dvn_ang], axis=-2)  # [NP, K, 2, 3]
+        inf_pk = jnp.full((n_pair, k), jnp.inf)
 
-        def push_iter(_, carry):
-            push6, lam_p = carry
-            for kk in range(k):
-                v = c_gather(push6)
-                jv = jnp.sum(jn[:, kk, 0] * v[:, :3], -1) + jnp.sum(jn[:, kk, 1] * v[:, 3:], -1)
-                delta = (rhs_push[:, kk] - jv) * inv_eff_n[:, kk] * act[:, kk]
-                new_l = jnp.maximum(lam_p[:, kk] + delta, 0.0)
-                d = new_l - lam_p[:, kk]
-                lam_p = lam_p.at[:, kk].set(new_l)
-                push6 = push6 + c_scatter(dvn_lin[:, kk], dvn_ang[:, kk], d)
-            return push6, lam_p
+        if model.solver == "pallas":
+            push_rows = _pack_rows(
+                jn, dv_n, jnp.zeros_like(dv_n), rhs_push,
+                jnp.zeros((n_pair, k)), inf_pk, inv_eff_n * act,
+            ).reshape(n_pair * k, -1)
+            solve_push = _get_pallas_solver(model, "push", n_pair)
+            push6, _ = solve_push(
+                push_rows, jnp.zeros((model.n_bodies, 6)), jnp.zeros((n_pair * k,))
+            )
+        else:
+            push6 = jnp.zeros_like(vel6)
 
-        push6, _ = jax.lax.fori_loop(
-            0, model.n_iterations, push_iter, (push6, jnp.zeros_like(contacts.gap))
-        )
+            def push_iter(_, carry):
+                push6, lam_p = carry
+                for kk in range(k):
+                    v = c_gather(push6)
+                    jv = jnp.sum(jn[:, kk, 0] * v[:, :3], -1) + jnp.sum(jn[:, kk, 1] * v[:, 3:], -1)
+                    delta = (rhs_push[:, kk] - jv) * inv_eff_n[:, kk] * act[:, kk]
+                    new_l = jnp.maximum(lam_p[:, kk] + delta, 0.0)
+                    d = new_l - lam_p[:, kk]
+                    lam_p = lam_p.at[:, kk].set(new_l)
+                    push6 = push6 + c_scatter(dvn_lin[:, kk], dvn_ang[:, kk], d)
+                return push6, lam_p
+
+            push6, _ = jax.lax.fori_loop(
+                0, model.n_iterations, push_iter, (push6, jnp.zeros_like(contacts.gap))
+            )
 
         # warm start contact impulses
         lam_n0 = warm_lam[..., 0]
@@ -757,7 +870,51 @@ def physics_step(
         lam_n0 = jnp.zeros((0, k))
         lam_t0 = jnp.zeros((0, k, 2))
 
-    # 5. velocity iterations: joints (colored phases) then contacts.
+    # 5. velocity iterations.
+    if model.solver == "pallas":
+        # fused sequential sweep: joints + contact rows in exact Bullet order
+        n_rows = model.n_rows
+        joint_packed = _pack_rows(
+            rows.j, rows.dv_a, rows.dv_b, rows.rhs, rows.lo, rows.hi, rows.inv_eff
+        )  # [NRJ, 28]
+        if n_pair:
+            normal_packed = _pack_rows(
+                jn, dv_n, jnp.zeros_like(dv_n), rhs_n,
+                jnp.zeros((n_pair, k)), inf_pk, inv_eff_n * act,
+            ).reshape(n_pair * k, -1)
+            dv_t1 = jnp.stack([dvt1_lin, dvt1_ang], axis=-2)
+            dv_t2 = jnp.stack([dvt2_lin, dvt2_ang], axis=-2)
+            jt = jnp.stack([jt1, jt2], axis=2)  # [NP, K, 2dirs, 4, 3]
+            dv_t = jnp.stack([dv_t1, dv_t2], axis=2)
+            ie_t = jnp.stack([inv_eff_t1 * act, inv_eff_t2 * act], axis=2)
+            friction_packed = _pack_rows(
+                jt, dv_t, jnp.zeros_like(dv_t), jnp.zeros((n_pair, k, 2)),
+                jnp.zeros((n_pair, k, 2)), jnp.zeros((n_pair, k, 2)), ie_t,
+            ).reshape(n_pair * k * 2, -1)
+            all_rows = jnp.concatenate([joint_packed, normal_packed, friction_packed], 0)
+            lam0_all = jnp.concatenate(
+                [jnp.zeros((n_rows,)), lam_n0.reshape(-1),
+                 lam_t0.reshape(n_pair * k * 2)]
+            )
+        else:
+            all_rows = joint_packed
+            lam0_all = jnp.zeros((n_rows,))
+
+        solve = _get_pallas_solver(model, "full", n_pair)
+        vel_mat, lam_all = solve(all_rows, vel6.reshape(model.n_bodies, 6), lam0_all)
+        vel6 = vel_mat.reshape(model.n_bodies, 6)
+        lam = lam_all[:n_rows]
+        if n_pair:
+            lam_n = lam_all[n_rows : n_rows + n_pair * k].reshape(n_pair, k)
+            lam_t = lam_all[n_rows + n_pair * k :].reshape(n_pair, k, 2)
+        else:
+            lam_n, lam_t = lam_n0, lam_t0
+        return _finish_step(
+            model, state, vel6, push6, lam, lam_n, lam_t, contacts, slider_lin_pos,
+            n_pair, dt,
+        )
+
+    # --- XLA path: colored phases as one-hot einsums ---
     # Everything index-dependent is precomputed as STATIC one-hot matrices and
     # the row data is regrouped phase-major, so each Gauss-Seidel phase is a
     # handful of dense (MXU-friendly) einsums — no gather/scatter in the hot
@@ -866,6 +1023,18 @@ def physics_step(
     else:
         lam = jnp.zeros((n_rows,))
 
+    return _finish_step(
+        model, state, vel6, push6, lam, lam_n, lam_t, contacts, slider_lin_pos,
+        n_pair, dt,
+    )
+
+
+def _finish_step(
+    model, state, vel6, push6, lam, lam_n, lam_t, contacts, slider_lin_pos, n_pair, dt
+):
+    """Shared step tail: integrate transforms, extract diagnostics, persist
+    the contact warm-start cache."""
+    n_rows = model.n_rows
     lin_vel = vel6[:, :3]
     ang_vel = vel6[:, 3:]
 
@@ -879,20 +1048,27 @@ def physics_step(
     np2p = model.n_p2p
     if ns:
         base_s = n_rows - 7 * ns
-        s_ids = base_s + 7 * jnp.arange(ns)
+        s_ids = base_s + 7 * np.arange(ns)
         slider_imp = lam[s_ids + 5] + lam[s_ids + 6]  # limit + motor rows
     else:
         slider_imp = jnp.zeros((0,))
     if np2p:
-        p_ids = 3 * jnp.arange(np2p)
+        p_ids = 3 * np.arange(np2p)
         p2p_imp = jnp.sqrt(lam[p_ids] ** 2 + lam[p_ids + 1] ** 2 + lam[p_ids + 2] ** 2)
     else:
         p2p_imp = jnp.zeros((0,))
 
     floor_contact = jnp.zeros((model.n_bodies,))
     if n_pair:
+        pair_np = model.pair_body
+        static_sel = model.inv_mass[pair_np[:, 1]] == 0.0
+        body_np = pair_np[static_sel][:, 0]
+        oh_c2 = np.zeros((len(body_np), model.n_bodies), dtype=np.float32)
+        oh_c2[np.arange(len(body_np)), body_np] = 1.0
         touching = (contacts.active & (contacts.gap < 0)).any(axis=1)
-        floor_contact = jnp.clip(oh_c.T @ touching.astype(jnp.float32), 0.0, 1.0)
+        floor_contact = jnp.clip(
+            jnp.asarray(oh_c2).T @ touching.astype(jnp.float32), 0.0, 1.0
+        )
         new_cl = jnp.stack([lam_n, lam_t[..., 0], lam_t[..., 1]], axis=-1)
         new_vid = jnp.where(contacts.active, contacts.vid, -1)
     else:

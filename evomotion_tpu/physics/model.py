@@ -140,6 +140,10 @@ class PhysicsModel:
     row_phase_slot: np.ndarray  # [n_rows, 2]
     n_rows: int
     n_iterations: int = 10
+    # velocity-solver backend: "xla" (colored-phase einsum loop) or "pallas"
+    # (fused sequential sweep kernel, exact Bullet row ordering). Switch with
+    # dataclasses.replace(model, solver="pallas").
+    solver: str = "xla"
 
     @property
     def n_p2p(self) -> int:
