@@ -616,50 +616,160 @@ def _static_row_bodies(model: PhysicsModel) -> tuple[np.ndarray, np.ndarray]:
     return np.array(idx_a, np.int32), np.array(idx_b, np.int32)
 
 
+def _n_dyn_pairs(model: PhysicsModel) -> int:
+    """Member-member pairs participating in (pallas-path) capsule contacts."""
+    if not model.member_contacts or model.solver != "pallas":
+        return 0
+    return len(model.dyn_pair_body)
+
+
+def _member_contact_rows(model: PhysicsModel, pos, quat, iinv_world, dt):
+    """Capsule-capsule member contacts -> packed solver rows.
+
+    Returns (normal_rows [NDP, 28], friction_rows [NDP*2, 28],
+    push_rows [NDP, 28]). Closest-point-between-segments narrowphase; one
+    contact per pair (adequate for the shallow, transient member-member
+    touches; floor contacts keep the 4-point hull manifolds)."""
+    dp = model.dyn_pair_body
+    ia, ib = dp[:, 0], dp[:, 1]
+    ax_a = maths.quat_rotate(quat[ia], model_arr(model.capsule_axis)[ia])
+    ax_b = maths.quat_rotate(quat[ib], model_arr(model.capsule_axis)[ib])
+    hl_a = model_arr(model.capsule_half_len)[ia][:, None]
+    hl_b = model_arr(model.capsule_half_len)[ib][:, None]
+    r_a = model_arr(model.capsule_radius)[ia]
+    r_b = model_arr(model.capsule_radius)[ib]
+
+    pa0 = pos[ia] - ax_a * hl_a
+    d1 = 2.0 * ax_a * hl_a
+    pb0 = pos[ib] - ax_b * hl_b
+    d2 = 2.0 * ax_b * hl_b
+
+    # closest points between segments (Ericson, Real-Time Collision Detection)
+    rvec = pa0 - pb0
+    a = jnp.sum(d1 * d1, -1)
+    e = jnp.sum(d2 * d2, -1)
+    f = jnp.sum(d2 * rvec, -1)
+    c = jnp.sum(d1 * rvec, -1)
+    bb = jnp.sum(d1 * d2, -1)
+    denom = a * e - bb * bb
+    s = jnp.where(denom > 1e-12, jnp.clip((bb * f - c * e) / jnp.maximum(denom, 1e-12), 0, 1), 0.0)
+    t = jnp.where(e > 1e-12, (bb * s + f) / jnp.maximum(e, 1e-12), 0.0)
+    t = jnp.clip(t, 0.0, 1.0)
+    s = jnp.where(a > 1e-12, jnp.clip((bb * t - c) / jnp.maximum(a, 1e-12), 0, 1), 0.0)
+    c_a = pa0 + d1 * s[:, None]
+    c_b = pb0 + d2 * t[:, None]
+
+    delta = c_a - c_b
+    dist = jnp.linalg.norm(delta, axis=-1)
+    n = delta / jnp.maximum(dist, 1e-9)[:, None]
+    gap = dist - r_a - r_b
+    point = c_a - n * r_a[:, None]
+    act = (gap < CONTACT_BREAKING).astype(jnp.float32)
+
+    rel_a = point - pos[ia]
+    rel_b = point - pos[ib]
+    inv_m_a = model_arr(model.inv_mass)[ia][:, None]
+    inv_m_b = model_arr(model.inv_mass)[ib][:, None]
+    ii_a = iinv_world[ia]
+    ii_b = iinv_world[ib]
+
+    def rows_for(d):
+        ja_ang = jnp.cross(rel_a, d)
+        jb_ang = -jnp.cross(rel_b, d)
+        j = jnp.stack([d, ja_ang, -d, jb_ang], axis=-2)  # [NDP, 4, 3]
+        dva = jnp.stack(
+            [inv_m_a * d, jnp.einsum("pij,pj->pi", ii_a, ja_ang)], axis=-2
+        )
+        dvb = jnp.stack(
+            [-inv_m_b * d, jnp.einsum("pij,pj->pi", ii_b, jb_ang)], axis=-2
+        )
+        eff = (
+            jnp.sum(j[:, 0] * dva[:, 0], -1) + jnp.sum(j[:, 1] * dva[:, 1], -1)
+            + jnp.sum(j[:, 2] * dvb[:, 0], -1) + jnp.sum(j[:, 3] * dvb[:, 1], -1)
+        )
+        inv_eff = jnp.where(eff > 1e-12, 1.0 / jnp.maximum(eff, 1e-12), 0.0)
+        return j, dva, dvb, inv_eff
+
+    ndp = len(dp)
+    jn_m, dva_n, dvb_n, ie_n = rows_for(n)
+    rhs_n = jnp.where(gap > 0, -gap / dt, 0.0)
+    zeros = jnp.zeros((ndp,))
+    inf_ = jnp.full((ndp,), jnp.inf)
+    normal_rows = _pack_rows(jn_m, dva_n, dvb_n, rhs_n, zeros, inf_, ie_n * act)
+    rhs_push = jnp.where(gap < 0, -gap * ERP2 / dt, 0.0)
+    push_rows = _pack_rows(jn_m, dva_n, dvb_n, rhs_push, zeros, inf_, ie_n * act)
+
+    t1, t2 = _plane_space(n)
+    fr = []
+    for d in (t1, t2):
+        jt, dva_t, dvb_t, ie_t = rows_for(d)
+        fr.append(_pack_rows(jt, dva_t, dvb_t, zeros, zeros, zeros, ie_t * act))
+    # interleave (pair, dir): [NDP, 2, 28]
+    friction_rows = jnp.stack(fr, axis=1).reshape(ndp * 2, -1)
+    return normal_rows, friction_rows, push_rows
+
+
 _PALLAS_SOLVERS: dict = {}
 
 
-def _get_pallas_solver(model: PhysicsModel, kind: str, n_pair: int):
+def _get_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int = 0):
     """custom_vmap-wrapped fused sweep for this model (cached).
 
     kind: "full" (joints + contact normal + friction rows, Bullet order) or
     "push" (contact normal rows only — the split-impulse position pass).
+    Row order for "full": joints | floor normals (pair-major, slot) | member
+    normals | floor frictions (pair, slot, dir) | member frictions (pair, dir).
     The single-env call pads to one kernel tile; under vmap the batch rule
     pads the env batch to a multiple of the tile and runs one kernel."""
-    key = (id(model), kind, n_pair)
+    key = (id(model), kind, n_pair, n_dyn)
     if key in _PALLAS_SOLVERS:
         return _PALLAS_SOLVERS[key]
 
     from . import solver_pallas as sp
 
     k = MAX_CONTACTS_PER_PAIR
+    pair_np = model.pair_body
+    static_sel = model.inv_mass[pair_np[:, 1]] == 0.0
+    body_np = pair_np[static_sel][:, 0]
+    dp = model.dyn_pair_body[:n_dyn] if n_dyn else np.zeros((0, 2), np.int32)
+    dyn_a, dyn_b = dp[:, 0].astype(np.int32), dp[:, 1].astype(np.int32)
+
     nrj = model.n_rows if kind == "full" else 0
     if kind == "full":
         ja, jb = _static_row_bodies(model)
-        pair_np = model.pair_body
-        static_sel = model.inv_mass[pair_np[:, 1]] == 0.0
-        body_np = pair_np[static_sel][:, 0]
         fric_np = np.clip(
             model.friction[body_np] * model.friction[pair_np[static_sel][:, 1]], 0, 10
         )
-        # order: joints | normals (pair-major, slot) | frictions (pair, slot, dir)
-        idx6_a = np.concatenate([ja * 6, np.repeat(body_np, k) * 6, np.repeat(body_np, 2 * k) * 6])
-        idx6_b = np.concatenate([jb * 6, np.zeros(n_pair * k, np.int32), np.zeros(n_pair * 2 * k, np.int32)])
-        normal_ids = nrj + np.arange(n_pair * k)
+        fric_dyn = np.clip(model.friction[dyn_a] * model.friction[dyn_b], 0, 10)
+        idx6_a = np.concatenate(
+            [ja * 6, np.repeat(body_np, k) * 6, dyn_a * 6,
+             np.repeat(body_np, 2 * k) * 6, np.repeat(dyn_a, 2) * 6]
+        )
+        idx6_b = np.concatenate(
+            [jb * 6, np.zeros(n_pair * k, np.int32), dyn_b * 6,
+             np.zeros(n_pair * 2 * k, np.int32), np.repeat(dyn_b, 2) * 6]
+        )
+        floor_normal_ids = nrj + np.arange(n_pair * k)
+        member_normal_ids = nrj + n_pair * k + np.arange(n_dyn)
         parent = np.concatenate(
-            [np.full(nrj + n_pair * k, -1, np.int32), np.repeat(normal_ids, 2).astype(np.int32)]
+            [
+                np.full(nrj + n_pair * k + n_dyn, -1, np.int32),
+                np.repeat(floor_normal_ids, 2).astype(np.int32),
+                np.repeat(member_normal_ids, 2).astype(np.int32),
+            ]
         )
         mu = np.concatenate(
-            [np.zeros(nrj + n_pair * k, np.float32), np.repeat(fric_np, 2 * k).astype(np.float32)]
+            [
+                np.zeros(nrj + n_pair * k + n_dyn, np.float32),
+                np.repeat(fric_np, 2 * k).astype(np.float32),
+                np.repeat(fric_dyn, 2).astype(np.float32),
+            ]
         )
     else:
-        pair_np = model.pair_body
-        static_sel = model.inv_mass[pair_np[:, 1]] == 0.0
-        body_np = pair_np[static_sel][:, 0]
-        idx6_a = np.repeat(body_np, k) * 6
-        idx6_b = np.zeros(n_pair * k, np.int32)
-        parent = np.full(n_pair * k, -1, np.int32)
-        mu = np.zeros(n_pair * k, np.float32)
+        idx6_a = np.concatenate([np.repeat(body_np, k) * 6, dyn_a * 6])
+        idx6_b = np.concatenate([np.zeros(n_pair * k, np.int32), dyn_b * 6])
+        parent = np.full(n_pair * k + n_dyn, -1, np.int32)
+        mu = np.zeros(n_pair * k + n_dyn, np.float32)
 
     n_iters = model.n_iterations
     interpret = jax.default_backend() != "tpu"
@@ -828,9 +938,16 @@ def physics_step(
                 jn, dv_n, jnp.zeros_like(dv_n), rhs_push,
                 jnp.zeros((n_pair, k)), inf_pk, inv_eff_n * act,
             ).reshape(n_pair * k, -1)
-            solve_push = _get_pallas_solver(model, "push", n_pair)
+            n_dyn = _n_dyn_pairs(model)
+            if n_dyn:
+                member_normal, member_friction, member_push = _member_contact_rows(
+                    model, state.pos, state.quat, iinv_world, dt
+                )
+                push_rows = jnp.concatenate([push_rows, member_push], 0)
+            solve_push = _get_pallas_solver(model, "push", n_pair, n_dyn)
             push6, _ = solve_push(
-                push_rows, jnp.zeros((model.n_bodies, 6)), jnp.zeros((n_pair * k,))
+                push_rows, jnp.zeros((model.n_bodies, 6)),
+                jnp.zeros((n_pair * k + n_dyn,)),
             )
         else:
             push6 = jnp.zeros_like(vel6)
@@ -891,22 +1008,36 @@ def physics_step(
                 jt, dv_t, jnp.zeros_like(dv_t), jnp.zeros((n_pair, k, 2)),
                 jnp.zeros((n_pair, k, 2)), jnp.zeros((n_pair, k, 2)), ie_t,
             ).reshape(n_pair * k * 2, -1)
-            all_rows = jnp.concatenate([joint_packed, normal_packed, friction_packed], 0)
-            lam0_all = jnp.concatenate(
-                [jnp.zeros((n_rows,)), lam_n0.reshape(-1),
-                 lam_t0.reshape(n_pair * k * 2)]
-            )
+            n_dyn = _n_dyn_pairs(model)
+            if n_dyn:
+                all_rows = jnp.concatenate(
+                    [joint_packed, normal_packed, member_normal,
+                     friction_packed, member_friction], 0
+                )
+                lam0_all = jnp.concatenate(
+                    [jnp.zeros((n_rows,)), lam_n0.reshape(-1), jnp.zeros((n_dyn,)),
+                     lam_t0.reshape(n_pair * k * 2), jnp.zeros((n_dyn * 2,))]
+                )
+            else:
+                all_rows = jnp.concatenate([joint_packed, normal_packed, friction_packed], 0)
+                lam0_all = jnp.concatenate(
+                    [jnp.zeros((n_rows,)), lam_n0.reshape(-1),
+                     lam_t0.reshape(n_pair * k * 2)]
+                )
         else:
+            n_dyn = 0
             all_rows = joint_packed
             lam0_all = jnp.zeros((n_rows,))
 
-        solve = _get_pallas_solver(model, "full", n_pair)
+        solve = _get_pallas_solver(model, "full", n_pair, n_dyn)
         vel_mat, lam_all = solve(all_rows, vel6.reshape(model.n_bodies, 6), lam0_all)
         vel6 = vel_mat.reshape(model.n_bodies, 6)
         lam = lam_all[:n_rows]
         if n_pair:
-            lam_n = lam_all[n_rows : n_rows + n_pair * k].reshape(n_pair, k)
-            lam_t = lam_all[n_rows + n_pair * k :].reshape(n_pair, k, 2)
+            base_n = n_rows
+            lam_n = lam_all[base_n : base_n + n_pair * k].reshape(n_pair, k)
+            base_f = base_n + n_pair * k + n_dyn
+            lam_t = lam_all[base_f : base_f + n_pair * k * 2].reshape(n_pair, k, 2)
         else:
             lam_n, lam_t = lam_n0, lam_t0
         return _finish_step(

@@ -125,6 +125,15 @@ class PhysicsModel:
     slider_motor_index: np.ndarray  # [NS] action slot driving this motor (-1 = none)
     # --- contact candidate pairs ---
     pair_body: np.ndarray  # [NPAIR, 2] (dynamic body, other body); other may be static
+    # dynamic-dynamic candidate pairs (member-member collision). Detected with
+    # a capsule approximation per body (axis/half-length/radius from the
+    # scaled hull AABB) — the reference uses convex hulls for these too, but
+    # member-member touches are rare and shallow; the dominant interaction
+    # (vs the static floor) keeps full hull contacts.
+    dyn_pair_body: np.ndarray  # [NDP, 2]
+    capsule_axis: np.ndarray  # [NB, 3] local unit axis (longest extent)
+    capsule_half_len: np.ndarray  # [NB]
+    capsule_radius: np.ndarray  # [NB]
     # --- solver schedule (graph coloring over constraint blocks) ---
     # each block is (kind, index): kind 0=p2p, 1=hinge, 2=fixed, 3=slider
     color_groups: tuple[tuple[tuple[int, int], ...], ...]
@@ -144,6 +153,8 @@ class PhysicsModel:
     # (fused sequential sweep kernel, exact Bullet row ordering). Switch with
     # dataclasses.replace(model, solver="pallas").
     solver: str = "xla"
+    # member-member (dyn-dyn) capsule contacts; solved on the pallas path
+    member_contacts: bool = True
 
     @property
     def n_p2p(self) -> int:
@@ -424,6 +435,31 @@ class ModelBuilder:
             hull[i, v:] = b.hull[0]  # pad with a real point (keeps support fns exact)
             hull_mask[i, :v] = 1.0
 
+        # capsule approximations from the scaled hull AABB: axis = longest
+        # half-extent dimension; radius = max of the other two (+ margin);
+        # half_len = long half-extent minus the radius (endpoint inset)
+        cap_axis = np.zeros((nb, 3), dtype=np.float32)
+        cap_hl = np.zeros((nb,), dtype=np.float32)
+        cap_r = np.zeros((nb,), dtype=np.float32)
+        for i, b in enumerate(self.bodies):
+            mn, mx = b.hull.min(axis=0), b.hull.max(axis=0)
+            center_off = (mx + mn) / 2.0  # hulls are ~centered; ignore offset
+            half = (mx - mn) / 2.0
+            k = int(np.argmax(half))
+            others = [half[j] for j in range(3) if j != k]
+            r = float(max(others)) + b.margin
+            cap_axis[i, k] = 1.0
+            cap_hl[i] = max(float(half[k]) + b.margin - r, 0.0)
+            cap_r[i] = r
+            del center_off
+
+        all_pairs = self._collision_pairs()
+        if len(all_pairs):
+            is_static = np.array([self.bodies[j].mass == 0.0 for j in all_pairs[:, 1]])
+            dyn_pairs = all_pairs[~is_static]
+        else:
+            dyn_pairs = np.zeros((0, 2), dtype=np.int32)
+
         inertia = np.stack([self._inertia(b) for b in self.bodies])
         inv_inertia = np.where(inertia > 0, 1.0 / np.maximum(inertia, 1e-18), 0.0)
         mass = np.array([b.mass for b in self.bodies])
@@ -466,7 +502,11 @@ class ModelBuilder:
             slider_lin_limit=arr(self.slider, lambda c: [c[6], c[7]], np.float32, (2,)),
             slider_max_motor_force=arr(self.slider, lambda c: c[8], np.float32),
             slider_motor_index=arr(self.slider, lambda c: c[9], np.int32),
-            pair_body=self._collision_pairs(),
+            pair_body=all_pairs,
+            dyn_pair_body=dyn_pairs.astype(np.int32),
+            capsule_axis=cap_axis,
+            capsule_half_len=cap_hl,
+            capsule_radius=cap_r,
             color_groups=colors,
             row_phases=phases,
             phase_table=phase_table,

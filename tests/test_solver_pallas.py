@@ -38,6 +38,37 @@ def _build():
 
 
 @pytest.mark.slow
+def test_member_capsule_contacts_separate_bodies():
+    """Member-member (dyn-dyn) capsule contacts keep overlapping boxes apart
+    (pallas path; the XLA fallback omits them)."""
+    b = ModelBuilder()
+    cube = get_shape("cube").hull_verts
+    b.add_body("floor", cube, (100, 1, 100), 0.0, (0, -1, 0), (0, 0, 0, 1))
+    b.add_body("box1", cube, (0.3, 0.3, 0.3), 1.0, (0.0, 0.5, 0), (0, 0, 0, 1))
+    b.add_body("box2", cube, (0.3, 0.3, 0.3), 1.0, (0.25, 1.1, 0), (0, 0, 0, 1))
+    model = dataclasses.replace(b.finalize(), solver="pallas")
+    assert len(model.dyn_pair_body) == 1
+
+    def run(m, n=90):
+        s = init_state(m)
+
+        def body(s, _):
+            s, _d = physics_step(m, s, jnp.zeros((0,)), jnp.ones((0,), bool), DT)
+            return s, None
+
+        return jax.jit(lambda s: jax.lax.scan(body, s, None, length=n))(s)[0]
+
+    s_on = run(model)
+    s_off = run(dataclasses.replace(model, member_contacts=False))
+    d_on = float(jnp.linalg.norm(s_on.pos[2] - s_on.pos[1]))
+    d_off = float(jnp.linalg.norm(s_off.pos[2] - s_off.pos[1]))
+    # with contacts the boxes push apart; without, they interpenetrate
+    assert d_on > 0.68  # >= sum of capsule radii
+    assert d_off < 0.4
+    assert not np.isnan(np.asarray(s_on.pos)).any()
+
+
+@pytest.mark.slow
 def test_pallas_matches_xla_interpret():
     model_x = _build()
     model_p = dataclasses.replace(model_x, solver="pallas")
