@@ -47,6 +47,13 @@ ERP = 0.2  # btContactSolverInfo m_erp (joints)
 ERP2 = 0.8  # m_erp2 (contact position correction)
 TURN_ERP = 0.1  # m_splitImpulseTurnErp
 HINGE_LIMIT_BIAS = 0.3  # btHingeConstraint default _biasFactor
+# Cap on limit-row correction velocity (rad/s resp. m/s). Divergence from
+# Bullet (which leaves limit bias uncapped): the spider's leg-yaw sectors are
+# over-constrained against the muscle anchor rows, and an uncapped bias
+# produces ~100 rad/s chatter spikes on the light leg bodies at the
+# equilibrium violation. Capping the demanded correction speed bounds the
+# injected energy without changing the constraint fixed point.
+LIMIT_BIAS_CAP = 3.0
 CONTACT_BREAKING = 0.02  # gContactBreakingThreshold
 WARMSTART = 0.85  # m_warmstartingFactor
 
@@ -288,7 +295,7 @@ def build_joint_rows(
         above = angle > hi_l
         j_lim = _ang_rows(ax_a[:, None])[:, 0]
         corr = jnp.where(below, lo_l - angle, jnp.where(above, hi_l - angle, 0.0))
-        rhs_lim = HINGE_LIMIT_BIAS / dt * corr
+        rhs_lim = jnp.clip(HINGE_LIMIT_BIAS / dt * corr, -LIMIT_BIAS_CAP, LIMIT_BIAS_CAP)
         lo_b = jnp.where(has_limit & below, 0.0, jnp.where(has_limit & above, -inf, 0.0))
         hi_b = jnp.where(has_limit & below, inf, 0.0)
 
@@ -377,7 +384,7 @@ def build_joint_rows(
         corr = jnp.where(
             locked, lo_l - lin_pos, jnp.where(below, lo_l - lin_pos, jnp.where(above, hi_l - lin_pos, 0.0))
         )
-        rhs_lim = erp_dt * corr
+        rhs_lim = jnp.clip(erp_dt * corr, -LIMIT_BIAS_CAP, LIMIT_BIAS_CAP)
         lo_b = jnp.where(
             has_lim,
             jnp.where(locked, -inf, jnp.where(below, 0.0, jnp.where(above, -inf, 0.0))),
