@@ -780,6 +780,9 @@ def _get_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int =
 
     n_iters = model.n_iterations
     interpret = jax.default_backend() != "tpu"
+    import os
+
+    chunk = int(os.environ.get("EVOMOTION_PALLAS_CHUNK", "8"))
 
     @jax.custom_batching.custom_vmap
     def solve(row_data, vel6, lam0):
@@ -789,7 +792,8 @@ def _get_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int =
         v6 = jnp.zeros((sp.TILE,) + vel6.shape).at[0].set(vel6)
         l0 = jnp.zeros((sp.TILE,) + lam0.shape).at[0].set(lam0)
         v, l = sp.solver_sweep(
-            rd, v6, l0, idx6_a, idx6_b, parent, mu, n_iters, interpret=interpret
+            rd, v6, l0, idx6_a, idx6_b, parent, mu, n_iters, chunk=chunk,
+            interpret=interpret,
         )
         return v[0], l[0]
 
@@ -812,7 +816,7 @@ def _get_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int =
             lam0 = jnp.concatenate([lam0, jnp.zeros((pad,) + lam0.shape[1:])], 0)
         v, l = sp.solver_sweep(
             row_data, vel6, lam0, idx6_a, idx6_b, parent, mu, n_iters,
-            interpret=interpret,
+            chunk=chunk, interpret=interpret,
         )
         return (v[:b], l[:b]), (True, True)
 
