@@ -26,9 +26,16 @@ Known divergences from Bullet (documented, behavior-level):
 - friction uses two fixed tangent directions (btPlaneSpace1 of the contact
   normal) instead of the single slip-velocity-aligned direction of the default
   solver mode: batch-friendly and gives stronger static friction;
-- contacts are generated hull-vertex-vs-face for body/static pairs; dynamic-
-  dynamic manifolds land in a later revision (spider locomotion is dominated
-  by foot-floor contact).
+- hull manifolds are generated vertex-vs-face for body/static pairs;
+  member-member (dyn-dyn) contacts use a capsule approximation (one contact
+  per pair, solver="pallas" path) — spider locomotion is dominated by the
+  foot-floor hull contacts;
+- limit-row correction velocity is capped at LIMIT_BIAS_CAP (Bullet leaves
+  it uncapped): prevents chatter where limit sectors are over-constrained
+  against muscle anchors (see the constant's comment);
+- the "xla" solver backend relaxes row ordering within a color phase (any
+  valid Gauss-Seidel order); the "pallas" backend keeps Bullet's strict
+  sequential order.
 """
 
 from __future__ import annotations
