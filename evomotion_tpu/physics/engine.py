@@ -779,11 +779,30 @@ def _get_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int =
                 np.repeat(fric_dyn, 2).astype(np.float32),
             ]
         )
+        kind_arr = np.concatenate(
+            [
+                np.full(nrj, sp.KIND_JOINT, np.int32),
+                np.full(n_pair * k + n_dyn, sp.KIND_NORMAL, np.int32),
+                np.full((n_pair * 2 * k) + n_dyn * 2, sp.KIND_FRICTION, np.int32),
+            ]
+        )
+        # floor contact rows have a static body B: skip the B-side work
+        skip_b = np.concatenate(
+            [
+                np.zeros(nrj, bool),
+                np.ones(n_pair * k, bool), np.zeros(n_dyn, bool),
+                np.ones(n_pair * 2 * k, bool), np.zeros(n_dyn * 2, bool),
+            ]
+        )
     else:
         idx6_a = np.concatenate([np.repeat(body_np, k) * 6, dyn_a * 6])
         idx6_b = np.concatenate([np.zeros(n_pair * k, np.int32), dyn_b * 6])
         parent = np.full(n_pair * k + n_dyn, -1, np.int32)
         mu = np.zeros(n_pair * k + n_dyn, np.float32)
+        kind_arr = np.full(n_pair * k + n_dyn, sp.KIND_NORMAL, np.int32)
+        skip_b = np.concatenate(
+            [np.ones(n_pair * k, bool), np.zeros(n_dyn, bool)]
+        )
 
     n_iters = model.n_iterations
     interpret = jax.default_backend() != "tpu"
@@ -799,8 +818,8 @@ def _get_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int =
         v6 = jnp.zeros((sp.TILE,) + vel6.shape).at[0].set(vel6)
         l0 = jnp.zeros((sp.TILE,) + lam0.shape).at[0].set(lam0)
         v, l = sp.solver_sweep(
-            rd, v6, l0, idx6_a, idx6_b, parent, mu, n_iters, chunk=chunk,
-            interpret=interpret,
+            rd, v6, l0, idx6_a, idx6_b, parent, mu, n_iters,
+            kind=kind_arr, skip_b=skip_b, chunk=chunk, interpret=interpret,
         )
         return v[0], l[0]
 
@@ -823,7 +842,7 @@ def _get_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int =
             lam0 = jnp.concatenate([lam0, jnp.zeros((pad,) + lam0.shape[1:])], 0)
         v, l = sp.solver_sweep(
             row_data, vel6, lam0, idx6_a, idx6_b, parent, mu, n_iters,
-            chunk=chunk, interpret=interpret,
+            kind=kind_arr, skip_b=skip_b, chunk=chunk, interpret=interpret,
         )
         return (v[:b], l[:b]), (True, True)
 

@@ -10,11 +10,19 @@ velocity iteration (all rows x all iterations) into ONE launch:
   joints -> contact normals -> contact frictions, per iteration — exactly
   Bullet's btSequentialImpulseConstraintSolver ordering (better fidelity than
   the XLA path's colored phases, which relax ordering within a color);
+- the row program is FULLY UNROLLED with static metadata: row ids, body
+  velocity offsets, friction parents and bound kinds are Python constants
+  baked into the Mosaic program. (The first version streamed metadata
+  through SMEM and used dynamic slices per row — ~1.7us/row-visit, 100%
+  scalar-unit bound. Static addressing is ~50x faster.)
 - per-row data (j, Minv*J, rhs, bounds, inv_eff: 28 floats x envs) streams
-  from HBM in double-buffered chunks; velocities, impulse accumulators and
-  row metadata (SMEM) stay resident in VMEM;
-- friction rows clamp to mu * lam[parent_normal_row] read live from the
-  accumulator (parent precedes the friction row in the order).
+  from HBM in multi-buffered chunks; velocities, impulse accumulators stay
+  resident in VMEM. n_chunks is padded to a multiple of n_buf so the DMA
+  slot pattern repeats identically every solver iteration (the iteration
+  fori_loop body must be trace-invariant);
+- friction rows clamp to +-mu * lam[parent_normal_row] read live from the
+  accumulator at a static address (parent precedes the friction row);
+- rows whose body B is static (floor contacts) skip the B-side load/store.
 
 The same kernel also runs the split-impulse position pass (normal rows only,
 push velocities) by being invoked with a different row list.
@@ -38,13 +46,13 @@ LANE = 128
 SUB = 8
 TILE = SUB * LANE  # envs per grid step
 
+# row bound kinds (static per row)
+KIND_JOINT = 0  # bounds streamed per env (limit/motor rows are state-dependent)
+KIND_NORMAL = 1  # [0, +inf)
+KIND_FRICTION = 2  # +-mu * lam[parent]
+
 
 def _sweep_kernel(
-    # scalar-prefetch metadata
-    idx6_a_ref,  # [NR_pad] int32: body_a * 6
-    idx6_b_ref,  # [NR_pad]
-    parent_ref,  # [NR_pad] int32: parent normal row for friction rows, else -1
-    mu_ref,  # [NR_pad] f32: friction coefficient (friction rows)
     # tensor inputs
     row_hbm,  # [G, NR_pad, ROW_F, SUB, LANE] in ANY/HBM (full array)
     vel_in,  # [NB6, SUB, LANE] VMEM (this tile)
@@ -53,13 +61,14 @@ def _sweep_kernel(
     vel_out,  # [NB6, SUB, LANE]
     lam_out,  # [NR_pad, SUB, LANE]
     # scratch
-    buf,  # [2, CHUNK, ROW_F, SUB, LANE] VMEM
-    sem,  # DMA semaphores [2]
+    buf,  # [N_BUF, CHUNK, ROW_F, SUB, LANE] VMEM
+    sem,  # DMA semaphores [N_BUF]
     *,
-    n_rows: int,
+    meta: tuple,  # static per-row (ia6, ib6, kind, mu, parent, skip_b)
     n_iters: int,
     chunk: int,
     n_chunks: int,
+    n_buf: int,
 ):
     tile = pl.program_id(0)
 
@@ -71,56 +80,51 @@ def _sweep_kernel(
             row_hbm.at[tile, pl.ds(c * chunk, chunk)], buf.at[slot], sem.at[slot]
         )
 
-    dma(0, 0).start()
-    total_chunks = n_iters * n_chunks
+    # warm-up: chunks 0..n_buf-2 (slot == chunk % n_buf throughout, which
+    # requires n_chunks % n_buf == 0 so the pattern repeats per iteration)
+    for w in range(n_buf - 1):
+        dma(w, w).start()
 
-    def chunk_body(gc, _):
-        c = jax.lax.rem(gc, n_chunks)
-        slot = jax.lax.rem(gc, 2)
-        nxt_slot = jax.lax.rem(gc + 1, 2)
-
-        @pl.when(gc + 1 < total_chunks)
-        def _():
-            dma(nxt_slot, jax.lax.rem(gc + 1, n_chunks)).start()
-
-        dma(slot, c).wait()
-
-        def row_body(r, _):
-            rid = c * chunk + r
-
-            @pl.when(rid < n_rows)
-            def _():
-                ia = idx6_a_ref[rid]
-                ib = idx6_b_ref[rid]
-                par = parent_ref[rid]
-
+    def iter_body(_, carry):
+        for c in range(n_chunks):
+            nxt = (c + n_buf - 1) % n_chunks
+            dma(nxt % n_buf, nxt).start()
+            dma(c % n_buf, c).wait()
+            slot = c % n_buf
+            for r in range(chunk):
+                rid = c * chunk + r
+                if rid >= len(meta):
+                    continue
+                ia6, ib6, kind, mu, parent, skip_b = meta[rid]
                 rd = buf[slot, r]  # [ROW_F, SUB, LANE]
-                va = vel_out[pl.ds(ia, 6)]  # [6, SUB, LANE]
-                vb = vel_out[pl.ds(ib, 6)]
-
-                jv = jnp.sum(rd[_J0:_J0 + 6] * va, axis=0) + jnp.sum(
-                    rd[_J0 + 6:_J0 + 12] * vb, axis=0
-                )  # [SUB, LANE]
+                va = vel_out[ia6:ia6 + 6]  # [6, SUB, LANE]
+                jv = jnp.sum(rd[_J0:_J0 + 6] * va, axis=0)
+                if not skip_b:
+                    vb = vel_out[ib6:ib6 + 6]
+                    jv = jv + jnp.sum(rd[_J0 + 6:_J0 + 12] * vb, axis=0)
 
                 lam_r = lam_out[rid]
                 delta = (rd[_RHS] - jv) * rd[_IEF]
-
-                # bounds: friction rows clamp to +-mu * lam[parent]
-                lim = mu_ref[rid] * lam_out[jnp.maximum(par, 0)]
-                lo = jnp.where(par >= 0, -lim, rd[_LO])
-                hi = jnp.where(par >= 0, lim, rd[_HI])
-
-                new_l = jnp.clip(lam_r + delta, lo, hi)
+                cand = lam_r + delta
+                if kind == KIND_JOINT:
+                    new_l = jnp.clip(cand, rd[_LO], rd[_HI])
+                elif kind == KIND_NORMAL:
+                    new_l = jnp.maximum(cand, 0.0)
+                else:  # friction: live clamp to the parent normal impulse
+                    lim = mu * lam_out[parent]
+                    new_l = jnp.clip(cand, -lim, lim)
                 d = new_l - lam_r
                 lam_out[rid] = new_l
-                vel_out[pl.ds(ia, 6)] = va + rd[_DVA:_DVA + 6] * d[None]
-                vb2 = vel_out[pl.ds(ib, 6)]  # re-read: 'a' write may alias
-                vel_out[pl.ds(ib, 6)] = vb2 + rd[_DVB:_DVB + 6] * d[None]
+                vel_out[ia6:ia6 + 6] = va + rd[_DVA:_DVA + 6] * d[None]
+                if not skip_b:
+                    vel_out[ib6:ib6 + 6] = vb + rd[_DVB:_DVB + 6] * d[None]
+        return carry
 
-        jax.lax.fori_loop(0, chunk, row_body, None, unroll=True)
-        return ()
+    jax.lax.fori_loop(0, n_iters, iter_body, 0)
 
-    jax.lax.fori_loop(0, total_chunks, chunk_body, ())
+    # the last iteration's tail prefetched chunks 0..n_buf-2 again: drain
+    for w in range(n_buf - 1):
+        dma(w, w).wait()
 
 
 def solver_sweep(
@@ -132,7 +136,10 @@ def solver_sweep(
     parent: np.ndarray,  # [NR] static, -1 where not friction
     mu: np.ndarray,  # [NR] static
     n_iters: int,
+    kind: np.ndarray | None = None,  # [NR] static KIND_*; default from parent
+    skip_b: np.ndarray | None = None,  # [NR] static bool; default never skip
     chunk: int = 8,
+    n_buf: int = 4,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Run the fused sweep; returns (vel6', lam'). B must be a multiple of
@@ -141,8 +148,21 @@ def solver_sweep(
     nr = row_data.shape[1]
     assert b % TILE == 0, f"batch {b} must be a multiple of {TILE}"
     g = b // TILE
-    nr_pad = int(np.ceil(nr / chunk) * chunk)
-    n_chunks = nr_pad // chunk
+    # pad the chunk count to a multiple of n_buf so the DMA slot pattern is
+    # identical across solver iterations (see kernel docstring)
+    n_chunks = int(np.ceil(nr / chunk))
+    n_chunks = int(np.ceil(n_chunks / n_buf) * n_buf)
+    nr_pad = n_chunks * chunk
+
+    if kind is None:
+        kind = np.where(parent >= 0, KIND_FRICTION, KIND_JOINT)
+    if skip_b is None:
+        skip_b = np.zeros(nr, dtype=bool)
+    meta = tuple(
+        (int(idx6_a[i]), int(idx6_b[i]), int(kind[i]), float(mu[i]),
+         int(parent[i]), bool(skip_b[i]))
+        for i in range(nr)
+    )
 
     # layout: env axis last, split (SUB, LANE)
     def to_tiled(x, extra):  # [B, ...extra] -> [G, ...extra, SUB, LANE]
@@ -160,51 +180,36 @@ def solver_sweep(
             [l0, jnp.zeros((g, nr_pad - nr, SUB, LANE), l0.dtype)], axis=1
         )
 
-    idx6_a = np.concatenate([idx6_a.astype(np.int32), np.zeros(nr_pad - nr, np.int32)])
-    idx6_b = np.concatenate([idx6_b.astype(np.int32), np.zeros(nr_pad - nr, np.int32)])
-    parent = np.concatenate([parent.astype(np.int32), np.full(nr_pad - nr, -1, np.int32)])
-    mu = np.concatenate([mu.astype(np.float32), np.zeros(nr_pad - nr, np.float32)])
-
     kernel = functools.partial(
-        _sweep_kernel, n_rows=nr, n_iters=n_iters, chunk=chunk, n_chunks=n_chunks
+        _sweep_kernel, meta=meta, n_iters=n_iters, chunk=chunk,
+        n_chunks=n_chunks, n_buf=n_buf,
     )
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(g,),
-        in_specs=[
+    in_specs = [
             pl.BlockSpec(memory_space=pltpu.ANY),  # row data stays in HBM
             pl.BlockSpec(
-                (1, nb * 6, SUB, LANE), lambda i, *_: (i, 0, 0, 0),
+                (1, nb * 6, SUB, LANE), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, nr_pad, SUB, LANE), lambda i, *_: (i, 0, 0, 0),
+                (1, nr_pad, SUB, LANE), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-        ],
-        out_specs=[
+        ]
+    out_specs = [
             pl.BlockSpec(
-                (1, nb * 6, SUB, LANE), lambda i, *_: (i, 0, 0, 0),
+                (1, nb * 6, SUB, LANE), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, nr_pad, SUB, LANE), lambda i, *_: (i, 0, 0, 0),
+                (1, nr_pad, SUB, LANE), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, chunk, ROW_F, SUB, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
+        ]
 
-    def wrapped(idxa, idxb, par, mu_r, row_r, vel_r, lam_r, velo_r, lamo_r, buf, sem):
-        kernel(
-            idxa, idxb, par, mu_r,
-            row_r, vel_r.at[0], lam_r.at[0], velo_r.at[0], lamo_r.at[0],
-            buf, sem,
-        )
+    def wrapped(row_r, vel_r, lam_r, velo_r, lamo_r, buf, sem):
+        kernel(row_r, vel_r.at[0], lam_r.at[0], velo_r.at[0], lamo_r.at[0],
+               buf, sem)
 
     vel_out, lam_out = pl.pallas_call(
         wrapped,
@@ -212,12 +217,15 @@ def solver_sweep(
             jax.ShapeDtypeStruct((g, nb * 6, SUB, LANE), jnp.float32),
             jax.ShapeDtypeStruct((g, nr_pad, SUB, LANE), jnp.float32),
         ],
-        grid_spec=grid_spec,
+        grid=(g,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((n_buf, chunk, ROW_F, SUB, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+        ],
         interpret=interpret,
-    )(
-        jnp.asarray(idx6_a), jnp.asarray(idx6_b), jnp.asarray(parent), jnp.asarray(mu),
-        rd, v, l0,
-    )
+    )(rd, v, l0)
 
     def from_tiled(x, extra):  # [G, ...extra, SUB, LANE] -> [B, ...extra]
         return jnp.moveaxis(x, (-2, -1), (1, 2)).reshape((b,) + extra)
