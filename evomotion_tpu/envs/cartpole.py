@@ -52,6 +52,7 @@ class CartPoleParams:
 class CartPoleState(NamedTuple):
     physics: PhysicsState
     key: jnp.ndarray
+    reset_idx: jnp.ndarray  # int32: resets consumed (mt19937 parity cursor)
     step_idx: jnp.ndarray  # int32
     last_vel: jnp.ndarray  # f32
     last_ang_vel: jnp.ndarray  # f32
@@ -63,8 +64,15 @@ class CartPole:
     observation_size = 7
     action_size = 1
 
-    def __init__(self, params: CartPoleParams = CartPoleParams()):
+    def __init__(self, params: CartPoleParams = CartPoleParams(), mt_seed: int | None = None):
         self.params = params
+        # strict reset parity: the reference's per-env std::mt19937 draw
+        # (cartpole.cpp:15,171). None -> jax.random (batched tier).
+        self._mt_table = None
+        if mt_seed is not None:
+            from ..utils.mt19937 import reset_draw_table
+
+            self._mt_table = jnp.asarray(reset_draw_table(mt_seed, 1))
         base_height, base_pos = 2.0, -4.0
         pendulum_height, pendulum_width = 0.7, 0.1
         pendulum_offset = pendulum_height / 4.0
@@ -133,7 +141,7 @@ class CartPole:
             self.model, physics, target, jnp.array([powered]), DT
         )
 
-    def _teleported(self, physics: PhysicsState, key):
+    def _teleported(self, physics: PhysicsState, key, reset_idx=None):
         """Teleport chariot+pendulum to spawn, zero their velocities, apply
         the random chariot impulse (cartpole.cpp:133-173)."""
         pos = physics.pos
@@ -146,7 +154,11 @@ class CartPole:
         lin = physics.lin_vel.at[self.chariot].set(0.0).at[self.pendulum].set(0.0)
         ang = physics.ang_vel.at[self.chariot].set(0.0).at[self.pendulum].set(0.0)
         push = self.params.chariot_push_force
-        rand_force = jax.random.uniform(key) * push * 2.0 - push
+        if self._mt_table is not None:
+            u = self._mt_table[reset_idx % self._mt_table.shape[0], 0]
+        else:
+            u = jax.random.uniform(key)
+        rand_force = u * push * 2.0 - push
         # applyCentralImpulse: dv = impulse / mass
         lin = lin.at[self.chariot, 0].add(rand_force / self.params.chariot_mass)
         return physics._replace(pos=pos, quat=quat, lin_vel=lin, ang_vel=ang)
@@ -158,7 +170,7 @@ class CartPole:
         then compute the first observation (Environment::reset ->
         reset_engine + compute_step)."""
         key, sub = jax.random.split(key)
-        physics = self._teleported(init_state(self.model), sub)
+        physics = self._teleported(init_state(self.model), sub, jnp.int32(0))
 
         def settle(_, phys):
             return self._phys_step(phys, jnp.zeros((1,)), False)[0]
@@ -167,6 +179,7 @@ class CartPole:
         state = CartPoleState(
             physics=physics,
             key=key,
+            reset_idx=jnp.int32(1),
             step_idx=jnp.int32(0),
             last_vel=jnp.float32(0.0),
             last_ang_vel=jnp.float32(0.0),
@@ -219,10 +232,11 @@ class CartPole:
         # on done: teleport + enter settling (the reference then blocks in
         # reset_engine; here the next reset_frame_nb batch steps settle)
         key, sub = jax.random.split(run_state.key)
-        reset_phys = self._teleported(run_state.physics, sub)
+        reset_phys = self._teleported(run_state.physics, sub, run_state.reset_idx)
         done_state = run_state._replace(
             physics=reset_phys,
             key=key,
+            reset_idx=run_state.reset_idx + 1,
             step_idx=jnp.int32(0),
             settle_left=jnp.int32(p.reset_frame_nb),
         )
@@ -249,10 +263,11 @@ class CartPoleFactory:
     def __init__(self, parameters: dict[str, str]):
         self.parameters = parameters
 
-    def make(self, seed: int = 1234) -> CartPole:
+    def make(self, seed: int = 1234, mt_parity: bool = True) -> CartPole:
         g = lambda k, d: get_value(self.parameters, k, d)
         return CartPole(
-            CartPoleParams(
+            mt_seed=seed if mt_parity else None,
+            params=CartPoleParams(
                 slider_speed=g("slider_speed", 16.0),
                 slider_force=g("slider_force", 64.0),
                 chariot_push_force=g("chariot_push_force", 2.0),

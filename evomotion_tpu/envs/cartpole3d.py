@@ -53,6 +53,7 @@ class CartPole3dParams:
 class CartPole3dState(NamedTuple):
     physics: PhysicsState
     key: jnp.ndarray
+    reset_idx: jnp.ndarray  # int32: resets consumed (mt19937 parity cursor)
     step_idx: jnp.ndarray
     lasts: jnp.ndarray  # [10]: vel_x, vel_z, ang, ang_vel, ang_vel_vec(3),
     # vert_ang, vert_ang_vel, plan_ang  (+ plan_ang_vec stored separately)
@@ -73,8 +74,15 @@ class CartPole3d:
     observation_size = 28
     action_size = 2
 
-    def __init__(self, params: CartPole3dParams = CartPole3dParams()):
+    def __init__(self, params: CartPole3dParams = CartPole3dParams(), mt_seed: int | None = None):
         self.params = params
+        # strict reset parity: the reference's per-env std::mt19937 draws
+        # (cartpole3d.cpp:22,308-309). None -> jax.random (batched tier).
+        self._mt_table = None
+        if mt_seed is not None:
+            from ..utils.mt19937 import reset_draw_table
+
+            self._mt_table = jnp.asarray(reset_draw_table(mt_seed, 2))
         base_scale = jnp.array([10.0, 1.0, 10.0])
         base_pos = jnp.array([0.0, -4.0, 10.0])
         cart_x_scale = (0.5, 0.125, 0.5)
@@ -223,7 +231,7 @@ class CartPole3d:
         )
         return state, StepResult(obs, reward, done, jnp.bool_(True))
 
-    def _teleported(self, physics: PhysicsState, key):
+    def _teleported(self, physics: PhysicsState, key, reset_idx=None):
         pos = physics.pos
         for idx, p in (
             (self.cart_x, self.cart_x_pos),
@@ -239,9 +247,15 @@ class CartPole3d:
             quat = quat.at[idx].set(ident)
             lin = lin.at[idx].set(0.0)
             ang = ang.at[idx].set(0.0)
-        k1, k2 = jax.random.split(key)
-        angle = jax.random.uniform(k1) * 2.0 * jnp.pi
-        force = jax.random.uniform(k2) * self.params.chariot_push_force
+        if self._mt_table is not None:
+            u = self._mt_table[reset_idx % self._mt_table.shape[0]]
+            u1, u2 = u[0], u[1]
+        else:
+            k1, k2 = jax.random.split(key)
+            u1 = jax.random.uniform(k1)
+            u2 = jax.random.uniform(k2)
+        angle = u1 * 2.0 * jnp.pi
+        force = u2 * self.params.chariot_push_force
         imp = jnp.array([jnp.cos(angle) * force, 0.0, jnp.sin(angle) * force])
         lin = lin.at[self.cart_z].add(imp / self.params.cart_z_mass)
         return physics._replace(pos=pos, quat=quat, lin_vel=lin, ang_vel=ang)
@@ -253,7 +267,7 @@ class CartPole3d:
 
     def reset(self, key):
         key, sub = jax.random.split(key)
-        physics = self._teleported(init_state(self.model), sub)
+        physics = self._teleported(init_state(self.model), sub, jnp.int32(0))
         physics = jax.lax.fori_loop(
             0,
             self.params.reset_frame_nb,
@@ -263,6 +277,7 @@ class CartPole3d:
         state = CartPole3dState(
             physics=physics,
             key=key,
+            reset_idx=jnp.int32(1),
             step_idx=jnp.int32(0),
             lasts=jnp.zeros((10,)),
             last_plan_ang_vec=jnp.float32(0.0),
@@ -291,8 +306,9 @@ class CartPole3d:
         run_state, run_res = self._compute_step(state)
         key, sub = jax.random.split(run_state.key)
         done_state = run_state._replace(
-            physics=self._teleported(run_state.physics, sub),
+            physics=self._teleported(run_state.physics, sub, run_state.reset_idx),
             key=key,
+            reset_idx=run_state.reset_idx + 1,
             step_idx=jnp.int32(0),
             settle_left=jnp.int32(p.reset_frame_nb),
         )
@@ -317,10 +333,11 @@ class CartPole3dFactory:
     def __init__(self, parameters: dict[str, str]):
         self.parameters = parameters
 
-    def make(self, seed: int = 1234) -> CartPole3d:
+    def make(self, seed: int = 1234, mt_parity: bool = True) -> CartPole3d:
         g = lambda k, d: get_value(self.parameters, k, d)
         return CartPole3d(
-            CartPole3dParams(
+            mt_seed=seed if mt_parity else None,
+            params=CartPole3dParams(
                 slider_speed=g("slider_speed", 16.0),
                 slider_force_per_kg=g("slider_force_per_kg", 32.0),
                 chariot_push_force=g("chariot_push_force", 2.0),

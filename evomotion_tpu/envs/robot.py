@@ -64,6 +64,7 @@ DEFAULT_SKELETON = os.path.join(
 class RobotEnvState(NamedTuple):
     physics: PhysicsState
     key: jnp.ndarray
+    reset_idx: jnp.ndarray  # int32: resets consumed (mt19937 parity cursor)
     curr_step: jnp.ndarray  # int32
     remaining_steps: jnp.ndarray  # int32
     # proprioception deltas persist across resets (states are built once in
@@ -82,12 +83,20 @@ class RobotEnvState(NamedTuple):
 class _RobotEnvBase:
     """Shared machinery; subclasses define reward/termination/reset params."""
 
-    def __init__(self, skeleton_json_path: str, reset_frames: int):
+    def __init__(self, skeleton_json_path: str, reset_frames: int, mt_seed: int | None = None):
         self.spec = robot_json.load(skeleton_json_path)
         self.model, self.meta = compile_robot(self.spec)
         self.observation_size = self.meta.obs_dim
         self.action_size = self.meta.action_dim
         self.reset_frames = reset_frames
+        # strict reset parity: per-env std::mt19937 draws (robot_walk.cpp:21,
+        # 82-84). None -> jax.random (the batched-training tier; a shared
+        # mt table would teleport every vmapped env identically).
+        self._mt_table = None
+        if mt_seed is not None:
+            from ..utils.mt19937 import reset_draw_table
+
+            self._mt_table = jnp.asarray(reset_draw_table(mt_seed, 3))
         self._members = jnp.asarray(np.array(self.meta.member_bodies, np.int32))
         self._non_root = jnp.asarray(np.array(self.meta.non_root_bodies, np.int32))
         self._speed = jnp.asarray(self.meta.muscle_speed)
@@ -221,15 +230,22 @@ class _RobotEnvBase:
     def _bank_velocity(self, physics):
         return self._reward_velocity(physics)
 
-    def _teleported(self, physics: PhysicsState, key) -> PhysicsState:
+    def _teleported(self, physics: PhysicsState, key, reset_idx=None) -> PhysicsState:
         """Random tilt around spawn; bodies to M * first_transform with zero
         velocities (robot_walk.cpp:76-96; item.cpp RigidBodyItem::reset)."""
         limit = self.tilt_limit
-        k1, k2, k3 = jax.random.split(key, 3)
-        # reference draw order: yaw, roll, pitch (robot_walk.cpp:82-84)
-        yaw = jax.random.uniform(k1) * limit - limit / 2.0
-        rollv = jax.random.uniform(k2) * limit - limit / 2.0
-        pitch = jax.random.uniform(k3) * limit - limit / 2.0
+        if self._mt_table is not None:
+            # reference draw order: yaw, roll, pitch (robot_walk.cpp:82-84)
+            u = self._mt_table[reset_idx % self._mt_table.shape[0]]
+            u1, u2, u3 = u[0], u[1], u[2]
+        else:
+            k1, k2, k3 = jax.random.split(key, 3)
+            u1 = jax.random.uniform(k1)
+            u2 = jax.random.uniform(k2)
+            u3 = jax.random.uniform(k3)
+        yaw = u1 * limit - limit / 2.0
+        rollv = u2 * limit - limit / 2.0
+        pitch = u3 * limit - limit / 2.0
         # glm::eulerAngleYXZ(yaw, pitch, roll) = RY(yaw) RX(pitch) RZ(roll)
         qy = maths.quat_from_axis_angle(jnp.array([0.0, 1.0, 0.0]), yaw)
         qx = maths.quat_from_axis_angle(jnp.array([1.0, 0.0, 0.0]), pitch)
@@ -256,7 +272,7 @@ class _RobotEnvBase:
     def reset(self, key) -> tuple[RobotEnvState, StepResult]:
         """Blocking reset (Environment::reset): teleport, settle, first obs."""
         key, sub = jax.random.split(key)
-        physics = self._teleported(init_state(self.model), sub)
+        physics = self._teleported(init_state(self.model), sub, jnp.int32(0))
         m = self.model.n_slider
 
         def settle(_, ph):
@@ -268,6 +284,7 @@ class _RobotEnvBase:
         state = RobotEnvState(
             physics=physics,
             key=key,
+            reset_idx=jnp.int32(1),
             curr_step=jnp.int32(0),
             remaining_steps=jnp.int32(self.initial_remaining),
             last_lin_vel=jnp.zeros((nm, 3)),
@@ -321,8 +338,9 @@ class _RobotEnvBase:
         run_state, run_res = self._compute_step(state)
         key, sub = jax.random.split(run_state.key)
         done_state = run_state._replace(
-            physics=self._teleported(run_state.physics, sub),
+            physics=self._teleported(run_state.physics, sub, run_state.reset_idx),
             key=key,
+            reset_idx=run_state.reset_idx + 1,
             curr_step=jnp.int32(0),
             remaining_steps=jnp.int32(self.initial_remaining),
             settle_left=jnp.int32(self.settle_total),
@@ -355,8 +373,8 @@ class RobotWalkParams:
 
 
 class RobotWalk(_RobotEnvBase):
-    def __init__(self, params: RobotWalkParams = RobotWalkParams()):
-        super().__init__(params.skeleton_json_path, params.reset_frames)
+    def __init__(self, params: RobotWalkParams = RobotWalkParams(), mt_seed: int | None = None):
+        super().__init__(params.skeleton_json_path, params.reset_frames, mt_seed)
         self.params = params
         self.minimal_velocity = params.minimal_velocity
         self.target_velocity = params.target_velocity
@@ -403,8 +421,8 @@ class RobotJumpParams:
 
 
 class RobotJump(_RobotEnvBase):
-    def __init__(self, params: RobotJumpParams = RobotJumpParams()):
-        super().__init__(params.skeleton_json_path, int(params.reset_seconds / DT))
+    def __init__(self, params: RobotJumpParams = RobotJumpParams(), mt_seed: int | None = None):
+        super().__init__(params.skeleton_json_path, int(params.reset_seconds / DT), mt_seed)
         self.params = params
         self.minimal_velocity = params.minimal_velocity
         self.target_velocity = params.target_velocity
@@ -439,10 +457,14 @@ class RobotWalkFactory:
     def __init__(self, parameters: dict[str, str]):
         self.parameters = parameters
 
-    def make(self, seed: int = 1234) -> RobotWalk:
+    def make(self, seed: int = 1234, mt_parity: bool = True) -> RobotWalk:
+        """mt_parity: seed a std::mt19937-exact reset stream (the reference's
+        per-env rng). Batched (vmapped) training passes False — a shared
+        stream would tilt every env identically."""
         g = lambda k, d: get_value(self.parameters, k, d)
         return RobotWalk(
-            RobotWalkParams(
+            mt_seed=seed if mt_parity else None,
+            params=RobotWalkParams(
                 skeleton_json_path=g("skeleton_json_path", DEFAULT_SKELETON),
                 initial_remaining_seconds=g("initial_remaining_seconds", 1.0),
                 max_episode_seconds=g("max_episode_seconds", 30.0),
@@ -459,10 +481,11 @@ class RobotJumpFactory:
     def __init__(self, parameters: dict[str, str]):
         self.parameters = parameters
 
-    def make(self, seed: int = 1234) -> RobotJump:
+    def make(self, seed: int = 1234, mt_parity: bool = True) -> RobotJump:
         g = lambda k, d: get_value(self.parameters, k, d)
         return RobotJump(
-            RobotJumpParams(
+            mt_seed=seed if mt_parity else None,
+            params=RobotJumpParams(
                 skeleton_json_path=g("skeleton_json_path", DEFAULT_SKELETON),
                 minimal_velocity=g("minimal_velocity", 0.1),
                 target_velocity=g("target_velocity", 0.5),

@@ -529,14 +529,34 @@ def _static_face_planes(model: PhysicsModel) -> tuple[np.ndarray, np.ndarray]:
     return planes, mask
 
 
-_PLANES_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+def _model_cache(name: str):
+    """Per-model memo keyed by the live object (weakref-validated).
+
+    `id()` alone can alias after GC reuses an address; entries are stored as
+    (weakref, value) and validated by identity, and a weakref callback purges
+    dead entries so builder workflows creating many models don't leak."""
+    import weakref
+
+    store: dict[int, tuple] = {}
+
+    def get(model, extra_key, compute):
+        key = (id(model), extra_key)
+        ent = store.get(key)
+        if ent is not None and ent[0]() is model:
+            return ent[1]
+        val = compute()
+        store[key] = (weakref.ref(model, lambda _, k=key: store.pop(k, None)), val)
+        return val
+
+    return get
+
+
+_get_planes_cached = _model_cache("planes")
+_get_solver_cached = _model_cache("solvers")
 
 
 def _get_static_planes(model: PhysicsModel):
-    key = id(model)
-    if key not in _PLANES_CACHE:
-        _PLANES_CACHE[key] = _static_face_planes(model)
-    return _PLANES_CACHE[key]
+    return _get_planes_cached(model, None, lambda: _static_face_planes(model))
 
 
 def detect_contacts(model: PhysicsModel, state: PhysicsState) -> _Contacts:
@@ -723,9 +743,6 @@ def _member_contact_rows(model: PhysicsModel, pos, quat, iinv_world, dt):
     return normal_rows, friction_rows, push_rows
 
 
-_PALLAS_SOLVERS: dict = {}
-
-
 def _get_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int = 0):
     """custom_vmap-wrapped fused sweep for this model (cached).
 
@@ -735,10 +752,13 @@ def _get_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int =
     normals | floor frictions (pair, slot, dir) | member frictions (pair, dir).
     The single-env call pads to one kernel tile; under vmap the batch rule
     pads the env batch to a multiple of the tile and runs one kernel."""
-    key = (id(model), kind, n_pair, n_dyn)
-    if key in _PALLAS_SOLVERS:
-        return _PALLAS_SOLVERS[key]
+    return _get_solver_cached(
+        model, (kind, n_pair, n_dyn),
+        lambda: _build_pallas_solver(model, kind, n_pair, n_dyn),
+    )
 
+
+def _build_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int):
     from . import solver_pallas as sp
 
     k = MAX_CONTACTS_PER_PAIR
@@ -846,7 +866,6 @@ def _get_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int =
         )
         return (v[:b], l[:b]), (True, True)
 
-    _PALLAS_SOLVERS[key] = solve
     return solve
 
 

@@ -77,7 +77,9 @@ def train_batched(
     from ..train.ppo_batched import BatchedPpo, PpoConfig
     from ..train.checkpoint import save_component
 
-    env = env_factory.make(env_seed)
+    # mt_parity off: vmapped envs draw per-env jax.random resets (a shared
+    # mt19937 table would tilt every env identically)
+    env = env_factory.make(env_seed, mt_parity=False)
     g = lambda k, d: type(d)(agent_params[k]) if k in agent_params else d
     cfg = PpoConfig(
         hidden_size=g("hidden_size", 256),

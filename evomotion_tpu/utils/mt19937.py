@@ -65,3 +65,20 @@ class MT19937:
 
     def uniform(self, lo: float, hi: float) -> float:
         return float(np.float32(self.uniform_float()) * np.float32(hi - lo) + np.float32(lo))
+
+
+def reset_draw_table(seed: int, draws_per_reset: int, n_resets: int = 4096) -> np.ndarray:
+    """Precompute the env's per-reset U(0,1) draws as a [n_resets, D] table.
+
+    The reference consumes a fixed number of ``rd_uni(rng)`` draws per
+    ``reset_engine()`` (robot_walk.cpp:82-84: 3; cartpole.cpp:171: 1;
+    cartpole3d.cpp:308-309: 2). Precomputing the stream host-side keeps the
+    jitted reset path static while reproducing libstdc++ bit-for-bit; envs
+    index the table with a reset counter carried in env state (wrapping at
+    n_resets, after which the stream repeats — bump n_resets for longer
+    strict-parity runs)."""
+    rng = MT19937(seed)
+    return np.array(
+        [[rng.uniform_float() for _ in range(draws_per_reset)] for _ in range(n_resets)],
+        dtype=np.float32,
+    )
