@@ -112,7 +112,11 @@ class CartPole:
             (0, chariot_height, 0), (0, -pendulum_height + pendulum_offset, 0),
             (0, 0, 1), (0, 0, 1),
         )
-        self.model = b.finalize()
+        import dataclasses
+
+        from ..physics.engine import default_solver
+
+        self.model = dataclasses.replace(b.finalize(), solver=default_solver())
 
     # --- internals ---
 

@@ -130,7 +130,11 @@ class CartPole3d:
             motor_index=1,
         )
         b.add_p2p(self.cart_z, self.pole, (0, 0.125, 0), (0, -0.5 + 0.5 / 4.0, 0))
-        self.model = b.finalize()
+        import dataclasses
+
+        from ..physics.engine import default_solver
+
+        self.model = dataclasses.replace(b.finalize(), solver=default_solver())
 
     def _obs(self, physics: PhysicsState, lasts, last_plan_ang_vec):
         (

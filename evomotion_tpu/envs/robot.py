@@ -84,8 +84,11 @@ class _RobotEnvBase:
     """Shared machinery; subclasses define reward/termination/reset params."""
 
     def __init__(self, skeleton_json_path: str, reset_frames: int, mt_seed: int | None = None):
+        from ..physics.engine import default_solver
+
         self.spec = robot_json.load(skeleton_json_path)
         self.model, self.meta = compile_robot(self.spec)
+        self.model = dataclasses.replace(self.model, solver=default_solver())
         self.observation_size = self.meta.obs_dim
         self.action_size = self.meta.action_dim
         self.reset_frames = reset_frames

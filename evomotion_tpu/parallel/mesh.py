@@ -46,28 +46,28 @@ def make_env_mesh(devices=None, axis_name: str = "env") -> Mesh:
 
 
 def shard_train_state(state, mesh: Mesh, axis_name: str = "env"):
-    """Place a PpoTrainState: env-batch leaves sharded, params replicated."""
+    """Place a train state: env-batch FIELDS sharded, everything else
+    replicated.
+
+    Placement is by field name, not by a shape heuristic: every leaf of the
+    fields named in ``_ENV_BATCH_FIELDS`` carries the env batch on dim 0 (they
+    are produced by the vmapped env), so they shard along the mesh axis; all
+    other fields (params, optimizer state, rng, counters, ring buffers) are
+    replicated."""
     batch_sharding = NamedSharding(mesh, P(axis_name))
     replicated = NamedSharding(mesh, P())
 
-    n_env = state.obs.shape[0]
+    env_fields = set(_ENV_BATCH_FIELDS) & set(state._fields)
+    placed = {}
+    for name in state._fields:
+        sh = batch_sharding if name in env_fields else replicated
+        placed[name] = jax.tree.map(lambda l: jax.device_put(l, sh), getattr(state, name))
+    return type(state)(**placed)
 
-    def place(leaf):
-        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == n_env:
-            return jax.device_put(leaf, batch_sharding)
-        return jax.device_put(leaf, replicated)
 
-    env_state = jax.tree.map(place, state.env_state)
-    return state._replace(
-        env_state=env_state,
-        obs=jax.device_put(state.obs, batch_sharding),
-        actor_params=jax.device_put(state.actor_params, replicated),
-        critic_params=jax.device_put(state.critic_params, replicated),
-        actor_opt_state=jax.device_put(state.actor_opt_state, replicated),
-        critic_opt_state=jax.device_put(state.critic_opt_state, replicated),
-        key=jax.device_put(state.key, replicated),
-        iteration=jax.device_put(state.iteration, replicated),
-    )
+# train-state fields whose leaves carry the env batch on dim 0 (see
+# PpoTrainState / OffPolicyTrainState)
+_ENV_BATCH_FIELDS = ("env_state", "obs", "prev_valid")
 
 
 def make_sharded_train_step(trainer, mesh: Mesh, axis_name: str = "env"):

@@ -1,0 +1,830 @@
+"""Env-last (batch-on-lanes) physics step — the TPU fast path.
+
+The vmapped form of :func:`engine.physics_step` puts the env batch on the
+LEADING axis, so every intermediate array has tiny trailing dims (3, 4, 28)
+and XLA tiles them onto the VPU's (8 sublanes, 128 lanes) registers at a few
+percent lane utilization; measured on a v5e, the row build alone cost ~4 ms
+at 2048 envs. This module implements the identical step math with the env
+batch on the LAST axis, so every elementwise op runs on dense [*, B] tiles
+(128 envs per lane row) and the packed row matrix [NR, 28, B] is produced
+directly in the solver kernel's (G, SUB, LANE) layout — the kernel call is a
+pure reshape, no transposes touch HBM.
+
+Wired in via ``jax.custom_batching.custom_vmap`` on ``engine.physics_step``
+(solver="pallas"): single-env calls keep the engine's per-env path; vmapped
+calls land here. Numerics mirror engine.py line for line (same formulas,
+same row order, same solver kernel) — see tests/test_batched_step.py for the
+vmapped-vs-per-env equivalence check.
+
+Reference: the whole `stepSimulation` hot path of
+evo_motion_model/src/environment.cpp:41-43 (Bullet Mt world), re-laid-out for
+SPMD lanes instead of CPU threads.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import engine as E
+from .model import MAX_CONTACTS_PER_PAIR, PhysicsModel
+
+# ---------------------------------------------------------------------------
+# env-last math: vectors are [..., 3, B], quats [..., 4, B] (components on the
+# second-to-last axis, envs on lanes)
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-2)
+
+
+def _cross(a, b):
+    ax, ay, az = a[..., 0, :], a[..., 1, :], a[..., 2, :]
+    bx, by, bz = b[..., 0, :], b[..., 1, :], b[..., 2, :]
+    return jnp.stack(
+        [ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx], axis=-2
+    )
+
+
+def _qmul(q1, q2):
+    x1, y1, z1, w1 = q1[..., 0, :], q1[..., 1, :], q1[..., 2, :], q1[..., 3, :]
+    x2, y2, z2, w2 = q2[..., 0, :], q2[..., 1, :], q2[..., 2, :], q2[..., 3, :]
+    return jnp.stack(
+        [
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        ],
+        axis=-2,
+    )
+
+
+def _qconj(q):
+    return q * jnp.array([-1.0, -1.0, -1.0, 1.0])[:, None]
+
+
+def _qrot(q, v):
+    """Rotate v [..., 3, B] by q [..., 4, B] (same formula as maths.quat_rotate)."""
+    qv = q[..., :3, :]
+    w = q[..., 3:4, :]
+    t = 2.0 * _cross(qv, v)
+    return v + w * t + _cross(qv, t)
+
+
+def _q2m(q):
+    """Rotation matrix [..., 3, 3, B] from quat [..., 4, B]."""
+    x, y, z, w = q[..., 0, :], q[..., 1, :], q[..., 2, :], q[..., 3, :]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    one = jnp.ones_like(x)
+    rows = [
+        [one - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)],
+        [2 * (xy + wz), one - 2 * (xx + zz), 2 * (yz - wx)],
+        [2 * (xz - wy), 2 * (yz + wx), one - 2 * (xx + yy)],
+    ]
+    return jnp.stack([jnp.stack(r, axis=-2) for r in rows], axis=-3)
+
+
+def _qnormalize(q, eps=1e-12):
+    n = jnp.sqrt(jnp.sum(q * q, axis=-2, keepdims=True))
+    return q / jnp.maximum(n, eps)
+
+
+def _qintegrate(q, omega, dt):
+    """btTransformUtil::integrateTransform (mirrors maths.quat_integrate)."""
+    from .maths import _ANGULAR_MOTION_THRESHOLD
+
+    angle = jnp.sqrt(jnp.sum(omega * omega, axis=-2, keepdims=True))
+    limit = _ANGULAR_MOTION_THRESHOLD / dt
+    angle = jnp.minimum(angle, limit)
+    half = angle * (dt * 0.5)
+    small = angle * dt < 0.001
+    factor = jnp.where(
+        small,
+        0.5 * dt - (dt * dt * dt) * (1.0 / 48.0) * angle * angle,
+        jnp.sin(half) / jnp.maximum(angle, 1e-12),
+    )
+    axis = omega * factor
+    dorn = jnp.concatenate([axis, jnp.cos(half)], axis=-2)
+    return _qnormalize(_qmul(dorn, q))
+
+
+def _plane_space(n):
+    """btPlaneSpace1 for env-last normals [..., 3, B]."""
+    nx, ny, nz = n[..., 0, :], n[..., 1, :], n[..., 2, :]
+    use_z = jnp.abs(nz) > 0.70710678
+    a_z = ny * ny + nz * nz
+    k_z = jax.lax.rsqrt(jnp.maximum(a_z, 1e-18))
+    p_z = jnp.stack([jnp.zeros_like(nx), -nz * k_z, ny * k_z], -2)
+    q_z = jnp.stack([a_z * k_z, -nx * p_z[..., 2, :], nx * p_z[..., 1, :]], -2)
+    a_x = nx * nx + ny * ny
+    k_x = jax.lax.rsqrt(jnp.maximum(a_x, 1e-18))
+    p_x = jnp.stack([-ny * k_x, nx * k_x, jnp.zeros_like(nx)], -2)
+    q_x = jnp.stack([-nz * p_x[..., 1, :], nz * p_x[..., 0, :], a_x * k_x], -2)
+    uz = use_z[..., None, :]
+    return jnp.where(uz, p_z, p_x), jnp.where(uz, q_z, q_x)
+
+
+def _rot_error_vec(quat_fa_w, quat_fb_w):
+    q_err = _qmul(quat_fb_w, _qconj(quat_fa_w))
+    sign = jnp.where(q_err[..., 3:4, :] < 0, -1.0, 1.0)
+    return 2.0 * q_err[..., :3, :] * sign
+
+
+# ---------------------------------------------------------------------------
+# row building (env-last mirrors of engine.py's builders)
+# ---------------------------------------------------------------------------
+
+
+def _point_rows(pa, pb, com_a, com_b, dirs):
+    """Point-coincidence rows; pivots/coms [N, 1, 3, B], dirs [N, D, 3, B].
+
+    Returns (j [N, D, 4, 3, B], c [N, D, B]) — engine._point_rows env-last."""
+    r_a = jnp.broadcast_to(pa - com_a, dirs.shape)
+    r_b = jnp.broadcast_to(pb - com_b, dirs.shape)
+    j = jnp.stack(
+        [dirs, _cross(r_a, dirs), -dirs, -_cross(r_b, dirs)], axis=-3
+    )
+    c = jnp.sum((pa - pb) * dirs, -2)
+    return j, c
+
+
+def _ang_rows(dirs):
+    zeros = jnp.zeros_like(dirs)
+    return jnp.stack([zeros, dirs, zeros, -dirs], axis=-3)
+
+
+def _pack(j, dv_a, dv_b, rhs, lo, hi, inv_eff):
+    """Pack one kind's rows into [n, 28, B].
+
+    j [n, 4, 3, B]; dv [n, 2, 3, B]; scalars [n, B]."""
+    n, _, _, b = j.shape
+    return jnp.concatenate(
+        [
+            j.reshape(n, 12, b),
+            dv_a.reshape(n, 6, b),
+            dv_b.reshape(n, 6, b),
+            rhs[:, None], lo[:, None], hi[:, None], inv_eff[:, None],
+        ],
+        axis=1,
+    )
+
+
+def _finish_dv(model, idx_a, idx_b, j, iinv_world):
+    """Minv*J and 1/(J Minv J^T) for flat rows j [NR, 4, 3, B]."""
+    inv_m_a = jnp.asarray(model.inv_mass[idx_a])[:, None, None]
+    inv_m_b = jnp.asarray(model.inv_mass[idx_b])[:, None, None]
+    ii_a = iinv_world[idx_a]  # [NR, 3, 3, B]
+    ii_b = iinv_world[idx_b]
+    dva_lin = inv_m_a * j[:, 0]
+    dva_ang = jnp.einsum("rijn,rjn->rin", ii_a, j[:, 1])
+    dvb_lin = inv_m_b * j[:, 2]
+    dvb_ang = jnp.einsum("rijn,rjn->rin", ii_b, j[:, 3])
+    eff = (
+        jnp.sum(j[:, 0] * dva_lin, -2)
+        + jnp.sum(j[:, 1] * dva_ang, -2)
+        + jnp.sum(j[:, 2] * dvb_lin, -2)
+        + jnp.sum(j[:, 3] * dvb_ang, -2)
+    )
+    inv_eff = jnp.where(eff > 1e-12, 1.0 / jnp.maximum(eff, 1e-12), 0.0)
+    dv_a = jnp.stack([dva_lin, dva_ang], axis=1)
+    dv_b = jnp.stack([dvb_lin, dvb_ang], axis=1)
+    return dv_a, dv_b, inv_eff
+
+
+def build_joint_rows(model: PhysicsModel, pos, quat, iinv_world, motor_target,
+                     motor_enabled, dt):
+    """Env-last build of all joint rows; returns ([NRJ, 28, B], slider_lin_pos).
+
+    Same canonical order and formulas as engine.build_joint_rows."""
+    b = pos.shape[-1]
+    erp_dt = E.ERP / dt
+    inf = jnp.inf
+    parts_j, parts_rhs, parts_lo, parts_hi = [], [], [], []
+
+    def emit(j, rhs, lo, hi):
+        # [n_blocks, rows_per_block, ...] -> block-major flat rows
+        nb_, rpb = rhs.shape[:2]
+        parts_j.append(j.reshape(nb_ * rpb, 4, 3, b))
+        parts_rhs.append(rhs.reshape(nb_ * rpb, b))
+        parts_lo.append(jnp.broadcast_to(lo, rhs.shape).reshape(nb_ * rpb, b))
+        parts_hi.append(jnp.broadcast_to(hi, rhs.shape).reshape(nb_ * rpb, b))
+
+    def eye_dirs(n):
+        return jnp.broadcast_to(jnp.eye(3)[None, :, :, None], (n, 3, 3, b))
+
+    # ---- p2p ----
+    if model.n_p2p:
+        ia, ib = model.p2p_body[:, 0], model.p2p_body[:, 1]
+        piv = jnp.asarray(model.p2p_pivot)[..., None]  # [N, 2, 3, 1]
+        pa = pos[ia] + _qrot(quat[ia], piv[:, 0])
+        pb = pos[ib] + _qrot(quat[ib], piv[:, 1])
+        dirs = eye_dirs(model.n_p2p)
+        j, c = _point_rows(pa[:, None], pb[:, None], pos[ia][:, None], pos[ib][:, None], dirs)
+        emit(j, -erp_dt * c, -inf, inf)
+
+    # ---- hinge ----
+    if model.n_hinge:
+        ia, ib = model.hinge_body[:, 0], model.hinge_body[:, 1]
+        piv = jnp.asarray(model.hinge_pivot)[..., None]
+        fq = jnp.asarray(model.hinge_frame_quat)[..., None]
+        lim = model.hinge_limit  # static numpy
+        pa = pos[ia] + _qrot(quat[ia], piv[:, 0])
+        pb = pos[ib] + _qrot(quat[ib], piv[:, 1])
+        qa_f = _qmul(quat[ia], jnp.broadcast_to(fq[:, 0], quat[ia].shape))
+        qb_f = _qmul(quat[ib], jnp.broadcast_to(fq[:, 1], quat[ib].shape))
+        ra = _q2m(qa_f)  # [N, 3, 3, B]
+        rb = _q2m(qb_f)
+        ax_a, p, q = ra[..., :, 2, :], ra[..., :, 0, :], ra[..., :, 1, :]
+        ax_b = rb[..., :, 2, :]
+
+        dirs = eye_dirs(model.n_hinge)
+        j_lin, c_lin = _point_rows(pa[:, None], pb[:, None], pos[ia][:, None], pos[ib][:, None], dirs)
+
+        u = _cross(ax_a, ax_b)
+        dirs_ang = jnp.stack([p, q], axis=1)
+        j_ang = _ang_rows(dirs_ang)
+        rhs_ang = erp_dt * jnp.sum(u[:, None] * dirs_ang, -2)
+
+        ref_x, ref_y = ra[..., :, 0, :], ra[..., :, 1, :]
+        swing = rb[..., :, 1, :]
+        angle = jnp.arctan2(_dot(swing, ref_x), _dot(swing, ref_y))
+        lo_l = jnp.asarray(lim[:, 0])[:, None]
+        hi_l = jnp.asarray(lim[:, 1])[:, None]
+        angle = E._adjust_angle_to_limits(angle, lo_l, hi_l)
+        has_limit = lo_l <= hi_l
+        below = angle < lo_l
+        above = angle > hi_l
+        j_lim = _ang_rows(ax_a[:, None])[:, 0]
+        corr = jnp.where(below, lo_l - angle, jnp.where(above, hi_l - angle, 0.0))
+        rhs_lim = jnp.clip(
+            E.HINGE_LIMIT_BIAS / dt * corr, -E.LIMIT_BIAS_CAP, E.LIMIT_BIAS_CAP
+        )
+        lo_b = jnp.where(has_limit & below, 0.0, jnp.where(has_limit & above, -inf, 0.0))
+        hi_b = jnp.where(has_limit & below, inf, 0.0)
+
+        nh = model.n_hinge
+        j_all = jnp.concatenate([j_lin, j_ang, j_lim[:, None]], axis=1)
+        rhs_all = jnp.concatenate([-erp_dt * c_lin, rhs_ang, rhs_lim[:, None]], axis=1)
+        lo_all = jnp.concatenate(
+            [jnp.full((nh, 5, b), -inf), jnp.broadcast_to(lo_b[:, None], (nh, 1, b))], axis=1
+        )
+        hi_all = jnp.concatenate(
+            [jnp.full((nh, 5, b), inf), jnp.broadcast_to(hi_b[:, None], (nh, 1, b))], axis=1
+        )
+        emit(j_all, rhs_all, lo_all, hi_all)
+
+    # ---- fixed ----
+    if model.n_fixed:
+        ia, ib = model.fixed_body[:, 0], model.fixed_body[:, 1]
+        piv = jnp.asarray(model.fixed_pivot)[..., None]
+        fq = jnp.asarray(model.fixed_frame_quat)[..., None]
+        pa = pos[ia] + _qrot(quat[ia], piv[:, 0])
+        pb = pos[ib] + _qrot(quat[ib], piv[:, 1])
+        dirs = eye_dirs(model.n_fixed)
+        j_lin, c_lin = _point_rows(pa[:, None], pb[:, None], pos[ia][:, None], pos[ib][:, None], dirs)
+        qa_f = _qmul(quat[ia], jnp.broadcast_to(fq[:, 0], quat[ia].shape))
+        qb_f = _qmul(quat[ib], jnp.broadcast_to(fq[:, 1], quat[ib].shape))
+        err = _rot_error_vec(qa_f, qb_f)
+        j_ang = _ang_rows(dirs)
+        rhs_ang = erp_dt * jnp.sum(err[:, None] * dirs, -2)
+        j_all = jnp.concatenate([j_lin, j_ang], axis=1)
+        rhs_all = jnp.concatenate([-erp_dt * c_lin, rhs_ang], axis=1)
+        emit(j_all, rhs_all, -inf, inf)
+
+    # ---- slider ----
+    slider_lin_pos = jnp.zeros((model.n_slider, b))
+    if model.n_slider:
+        ia, ib = model.slider_body[:, 0], model.slider_body[:, 1]
+        piv = jnp.asarray(model.slider_pivot)[..., None]
+        fq = jnp.asarray(model.slider_frame_quat)[..., None]
+        lim = model.slider_lin_limit
+        max_f = jnp.asarray(model.slider_max_motor_force)[:, None]
+
+        pa = pos[ia] + _qrot(quat[ia], piv[:, 0])
+        pb = pos[ib] + _qrot(quat[ib], piv[:, 1])
+        qa_f = _qmul(quat[ia], jnp.broadcast_to(fq[:, 0], quat[ia].shape))
+        qb_f = _qmul(quat[ib], jnp.broadcast_to(fq[:, 1], quat[ib].shape))
+        ra = _q2m(qa_f)
+        axis, p, q = ra[..., :, 0, :], ra[..., :, 1, :], ra[..., :, 2, :]
+
+        delta = pb - pa
+        lin_pos = _dot(delta, axis)
+        slider_lin_pos = lin_pos
+
+        dirs_perp = jnp.stack([p, q], axis=1)
+        j_perp, c_perp = _point_rows(
+            pa[:, None], pb[:, None], pos[ia][:, None], pos[ib][:, None], dirs_perp
+        )
+
+        err = _rot_error_vec(qa_f, qb_f)
+        dirs3 = eye_dirs(model.n_slider)
+        j_ang = _ang_rows(dirs3)
+        rhs_ang = erp_dt * jnp.sum(err[:, None] * dirs3, -2)
+
+        r_a = pa - pos[ia]
+        r_b = pb - pos[ib]
+        j_axial = jnp.stack(
+            [-axis, -_cross(r_a, axis), axis, _cross(r_b, axis)], axis=-3
+        )
+        lo_l = jnp.asarray(lim[:, 0])[:, None]
+        hi_l = jnp.asarray(lim[:, 1])[:, None]
+        has_lim = lo_l <= hi_l
+        locked = jnp.abs(hi_l - lo_l) < 1e-9
+        below = lin_pos < lo_l
+        above = lin_pos > hi_l
+        corr = jnp.where(
+            locked, lo_l - lin_pos,
+            jnp.where(below, lo_l - lin_pos, jnp.where(above, hi_l - lin_pos, 0.0)),
+        )
+        rhs_lim = jnp.clip(erp_dt * corr, -E.LIMIT_BIAS_CAP, E.LIMIT_BIAS_CAP)
+        lo_b = jnp.where(
+            has_lim,
+            jnp.where(locked, -inf, jnp.where(below, 0.0, jnp.where(above, -inf, 0.0))),
+            0.0,
+        )
+        hi_b = jnp.where(
+            has_lim,
+            jnp.where(locked, inf, jnp.where(below, inf, jnp.where(above, 0.0, 0.0))),
+            0.0,
+        )
+        mot_fact = E._motor_factor(lin_pos, lo_l, hi_l, motor_target, 1.0 / dt)
+        rhs_mot = mot_fact * motor_target
+        imp = jnp.where(motor_enabled, max_f * dt, 0.0)
+
+        ns = model.n_slider
+        j_all = jnp.concatenate(
+            [j_perp, j_ang, j_axial[:, None], j_axial[:, None]], axis=1
+        )
+        rhs_all = jnp.concatenate(
+            [-erp_dt * c_perp, rhs_ang, rhs_lim[:, None], rhs_mot[:, None]], axis=1
+        )
+        lo_all = jnp.concatenate(
+            [jnp.full((ns, 5, b), -inf), lo_b[:, None], -imp[:, None]], axis=1
+        )
+        hi_all = jnp.concatenate(
+            [jnp.full((ns, 5, b), inf), hi_b[:, None], imp[:, None]], axis=1
+        )
+        emit(j_all, rhs_all, lo_all, hi_all)
+
+    if parts_j:
+        j = jnp.concatenate(parts_j, 0)
+        rhs = jnp.concatenate(parts_rhs, 0)
+        lo = jnp.concatenate(parts_lo, 0)
+        hi = jnp.concatenate(parts_hi, 0)
+    else:
+        j = jnp.zeros((0, 4, 3, b))
+        rhs = lo = hi = jnp.zeros((0, b))
+    idx_a, idx_b = E._static_row_bodies(model)
+    dv_a, dv_b, inv_eff = _finish_dv(model, idx_a, idx_b, j, iinv_world)
+    packed = _pack(j, dv_a, dv_b, rhs, lo, hi, inv_eff)
+    return packed, slider_lin_pos
+
+
+# ---------------------------------------------------------------------------
+# contacts
+# ---------------------------------------------------------------------------
+
+
+def detect_contacts(model: PhysicsModel, pos, quat):
+    """Hull-vertex vs static-face contacts, deepest K per pair (env-last).
+
+    Returns (point [NP,K,3,B], normal [NP,K,3,B], gap [NP,K,B],
+    active [NP,K,B] bool, vid [NP,K,B] int32) — engine.detect_contacts."""
+    planes_np, _ = E._get_static_planes(model)
+    b = pos.shape[-1]
+    k = MAX_CONTACTS_PER_PAIR
+
+    pair = model.pair_body
+    static_sel = model.inv_mass[pair[:, 1]] == 0.0
+    pairs = pair[np.asarray(static_sel)]
+    n_pair = len(pairs)
+    if n_pair == 0:
+        z = jnp.zeros((0, k, b))
+        return (
+            jnp.zeros((0, k, 3, b)), jnp.zeros((0, k, 3, b)), z, z > 0,
+            jnp.zeros((0, k, b), jnp.int32),
+        )
+
+    ia, ib = pairs[:, 0], pairs[:, 1]
+    hull = jnp.asarray(model.hull[ia])  # static [NP, V, 3]
+    hmask = model.hull_mask[ia]  # static numpy [NP, V]
+    nv = hull.shape[1]
+    # world verts [NP, V, 3, B]
+    world = pos[ia][:, None] + _qrot(quat[ia][:, None], hull[..., None])
+
+    pl3 = jnp.asarray(planes_np[ib][..., :3])  # [NP, F, 3]
+    off = jnp.asarray(planes_np[ib][..., 3])  # [NP, F]
+    d = jnp.einsum("pvin,pfi->pvfn", world, pl3) + off[:, None, :, None]
+    face = jnp.argmax(d, axis=2)  # [NP, V, B]
+    dist = jnp.max(d, axis=2)
+    marg = (model.margin[ia] + model.margin[ib]).astype(np.float32)  # [NP]
+    gap = dist - jnp.asarray(marg)[:, None, None]
+    gap = jnp.where(jnp.asarray(hmask)[:, :, None] > 0, gap, 1e9)
+
+    # deepest-K selection along the vertex axis (iterative argmin == the
+    # engine's lax.top_k(-gap) including first-index tie-breaking)
+    iota_v = jnp.arange(nv)[None, :, None]
+    g = gap
+    sel_gap, sel_pt, sel_n, vids = [], [], [], []
+    facef = face.astype(jnp.float32)
+    nf = pl3.shape[1]
+    iota_f = jnp.arange(nf)[None, :, None]
+    for _ in range(k):
+        vid = jnp.argmin(g, axis=1)  # [NP, B]
+        oh = (iota_v == vid[:, None, :]).astype(jnp.float32)  # [NP, V, B]
+        sel_gap.append(jnp.min(g, axis=1))
+        sel_pt.append(jnp.einsum("pvn,pvin->pin", oh, world))
+        f_sel = jnp.sum(oh * facef, axis=1)  # [NP, B]
+        ohf = (iota_f == f_sel[:, None, :].astype(jnp.int32)).astype(jnp.float32)
+        sel_n.append(jnp.einsum("pfn,pfi->pin", ohf, pl3))
+        vids.append(vid.astype(jnp.int32))
+        g = jnp.where(oh > 0, 1e9, g)
+
+    gap_k = jnp.stack(sel_gap, axis=1)  # [NP, K, B]
+    pt_k = jnp.stack(sel_pt, axis=1)  # [NP, K, 3, B]
+    n_k = jnp.stack(sel_n, axis=1)
+    vid_k = jnp.stack(vids, axis=1)
+    active = gap_k < E.CONTACT_BREAKING
+    return pt_k, n_k, gap_k, active, vid_k
+
+
+def _member_contact_rows(model: PhysicsModel, pos, quat, iinv_world, dt):
+    """Capsule-capsule member contacts (env-last engine._member_contact_rows).
+
+    Returns (normal [NDP, 28, B], friction [NDP*2, 28, B], push [NDP, 28, B])."""
+    dp = model.dyn_pair_body
+    b = pos.shape[-1]
+    ia, ib = dp[:, 0], dp[:, 1]
+    ax_a = _qrot(quat[ia], jnp.asarray(model.capsule_axis[ia])[..., None])
+    ax_b = _qrot(quat[ib], jnp.asarray(model.capsule_axis[ib])[..., None])
+    hl_a = jnp.asarray(model.capsule_half_len[ia])[:, None, None]  # [NDP,1,1]
+    hl_b = jnp.asarray(model.capsule_half_len[ib])[:, None, None]
+    r_a = jnp.asarray(model.capsule_radius[ia])[:, None]  # [NDP,1]
+    r_b = jnp.asarray(model.capsule_radius[ib])[:, None]
+
+    pa0 = pos[ia] - ax_a * hl_a
+    d1 = 2.0 * ax_a * hl_a
+    pb0 = pos[ib] - ax_b * hl_b
+    d2 = 2.0 * ax_b * hl_b
+
+    rvec = pa0 - pb0
+    a = _dot(d1, d1)
+    e = _dot(d2, d2)
+    f = _dot(d2, rvec)
+    c = _dot(d1, rvec)
+    bb = _dot(d1, d2)
+    denom = a * e - bb * bb
+    s = jnp.where(
+        denom > 1e-12, jnp.clip((bb * f - c * e) / jnp.maximum(denom, 1e-12), 0, 1), 0.0
+    )
+    t = jnp.where(e > 1e-12, (bb * s + f) / jnp.maximum(e, 1e-12), 0.0)
+    t = jnp.clip(t, 0.0, 1.0)
+    s = jnp.where(a > 1e-12, jnp.clip((bb * t - c) / jnp.maximum(a, 1e-12), 0, 1), 0.0)
+    c_a = pa0 + d1 * s[:, None]
+    c_b = pb0 + d2 * t[:, None]
+
+    delta = c_a - c_b
+    dist = jnp.sqrt(jnp.sum(delta * delta, -2))
+    n = delta / jnp.maximum(dist, 1e-9)[:, None]
+    gap = dist - r_a - r_b
+    point = c_a - n * r_a[:, None]
+    act = (gap < E.CONTACT_BREAKING).astype(jnp.float32)
+
+    rel_a = point - pos[ia]
+    rel_b = point - pos[ib]
+    inv_m_a = jnp.asarray(model.inv_mass[ia])[:, None, None]
+    inv_m_b = jnp.asarray(model.inv_mass[ib])[:, None, None]
+    ii_a = iinv_world[ia]
+    ii_b = iinv_world[ib]
+
+    def rows_for(d):
+        ja_ang = _cross(rel_a, d)
+        jb_ang = -_cross(rel_b, d)
+        j = jnp.stack([d, ja_ang, -d, jb_ang], axis=1)  # [NDP, 4, 3, B]
+        dva = jnp.stack(
+            [inv_m_a * d, jnp.einsum("pijn,pjn->pin", ii_a, ja_ang)], axis=1
+        )
+        dvb = jnp.stack(
+            [-inv_m_b * d, jnp.einsum("pijn,pjn->pin", ii_b, jb_ang)], axis=1
+        )
+        eff = (
+            jnp.sum(j[:, 0] * dva[:, 0], -2) + jnp.sum(j[:, 1] * dva[:, 1], -2)
+            + jnp.sum(j[:, 2] * dvb[:, 0], -2) + jnp.sum(j[:, 3] * dvb[:, 1], -2)
+        )
+        inv_eff = jnp.where(eff > 1e-12, 1.0 / jnp.maximum(eff, 1e-12), 0.0)
+        return j, dva, dvb, inv_eff
+
+    ndp = len(dp)
+    jn_m, dva_n, dvb_n, ie_n = rows_for(n)
+    rhs_n = jnp.where(gap > 0, -gap / dt, 0.0)
+    zeros = jnp.zeros((ndp, b))
+    inf_ = jnp.full((ndp, b), jnp.inf)
+    normal_rows = _pack(jn_m, dva_n, dvb_n, rhs_n, zeros, inf_, ie_n * act)
+    rhs_push = jnp.where(gap < 0, -gap * E.ERP2 / dt, 0.0)
+    push_rows = _pack(jn_m, dva_n, dvb_n, rhs_push, zeros, inf_, ie_n * act)
+
+    t1, t2 = _plane_space(n)
+    fr = []
+    for d in (t1, t2):
+        jt, dva_t, dvb_t, ie_t = rows_for(d)
+        fr.append(_pack(jt, dva_t, dvb_t, zeros, zeros, zeros, ie_t * act))
+    friction_rows = jnp.stack(fr, axis=1).reshape(ndp * 2, -1, b)
+    return normal_rows, friction_rows, push_rows
+
+
+# ---------------------------------------------------------------------------
+# the full step
+# ---------------------------------------------------------------------------
+
+
+def _round_rows(nr: int, chunk: int, n_buf: int = 4) -> int:
+    unit = chunk * n_buf
+    return int(np.ceil(max(nr, 1) / unit) * unit)
+
+
+def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
+                 contact_lambda, contact_vid, motor_target, motor_enabled):
+    """One substep for B envs, env axis last everywhere.
+
+    pos [NB,3,B], quat [NB,4,B], vels [NB,3,B], contact_lambda [NP,K,3,B],
+    contact_vid [NP,K,B], motor_target/enabled [NS,B]. B must be a multiple
+    of the kernel tile. Returns the same tuple plus env-last diagnostics
+    (slider_lin_pos, slider_applied_impulse, p2p_applied_impulse,
+    floor_contact)."""
+    from . import solver_pallas as sp
+
+    b = pos.shape[-1]
+    k = MAX_CONTACTS_PER_PAIR
+    n_pair = E.n_manifold_pairs(model)
+    n_dyn = E._n_dyn_pairs(model)
+    chunk = int(os.environ.get("EVOMOTION_PALLAS_CHUNK", "8"))
+    interpret = jax.default_backend() != "tpu"
+
+    dyn = (model.inv_mass > 0).astype(np.float32)[:, None, None]  # [NB,1,1]
+    lin_vel = lin_vel + jnp.asarray(dyn * np.asarray(E.GRAVITY)[None, :, None]) * dt
+
+    rot = _q2m(quat)  # [NB, 3, 3, B]
+    iinv_world = jnp.einsum(
+        "bijn,bj,bkjn->bikn", rot, jnp.asarray(model.inv_inertia_local), rot
+    )
+
+    # contacts + warm-start match
+    pt_k, n_k, gap_k, active, vid_k = detect_contacts(model, pos, quat)
+    if n_pair:
+        match = (vid_k[:, :, None] == contact_vid[:, None, :]) & (
+            contact_vid[:, None, :] >= 0
+        )
+        warm = jnp.einsum("pkon,podn->pkdn", match.astype(jnp.float32), contact_lambda)
+        warm = jnp.where(active[:, :, None], warm * E.WARMSTART, 0.0)
+    else:
+        warm = jnp.zeros((0, k, 3, b))
+
+    joint_packed, slider_lin_pos = build_joint_rows(
+        model, pos, quat, iinv_world, motor_target, motor_enabled, dt
+    )
+    nrj = model.n_rows
+
+    vel6 = jnp.concatenate([lin_vel, ang_vel], axis=1)  # [NB, 6, B]
+
+    pair = model.pair_body
+    static_sel = model.inv_mass[pair[:, 1]] == 0.0
+    body_np = pair[np.asarray(static_sel)][:, 0]
+
+    if n_pair:
+        r_a = pt_k - pos[body_np][:, None]
+        t1, t2 = _plane_space(n_k)
+        actf = active.astype(jnp.float32)
+
+        inv_m = jnp.asarray(model.inv_mass[body_np])[:, None, None, None]  # [NP,1,1,1]
+        ii = iinv_world[body_np]  # [NP, 3, 3, B]
+
+        def contact_rows(d):
+            j_ang = _cross(r_a, d)
+            zeros = jnp.zeros_like(d)
+            j = jnp.stack([d, j_ang, zeros, zeros], axis=2)  # [NP, K, 4, 3, B]
+            dv_lin = inv_m * d
+            dv_ang = jnp.einsum("pijn,pkjn->pkin", ii, j_ang)
+            eff = jnp.sum(d * dv_lin, -2) + jnp.sum(j_ang * dv_ang, -2)
+            ie = jnp.where(eff > 1e-12, 1.0 / jnp.maximum(eff, 1e-12), 0.0)
+            dv = jnp.stack([dv_lin, dv_ang], axis=2)  # [NP, K, 2, 3, B]
+            return j, dv, ie
+
+        jn, dv_n, ie_n = contact_rows(n_k)
+        jt1, dv_t1, ie_t1 = contact_rows(t1)
+        jt2, dv_t2, ie_t2 = contact_rows(t2)
+        rhs_n = jnp.where(gap_k > 0, -gap_k / dt, 0.0)
+        rhs_push = jnp.where(gap_k < 0, -gap_k * E.ERP2 / dt, 0.0)
+        zeros_pk = jnp.zeros((n_pair, k, b))
+        inf_pk = jnp.full((n_pair, k, b), jnp.inf)
+        dvz = jnp.zeros_like(dv_n)
+
+        def pack_pk(j, dv, rhs, lo, hi, ie):
+            return _pack(
+                j.reshape(n_pair * k, 4, 3, b), dv.reshape(n_pair * k, 2, 3, b),
+                dvz.reshape(n_pair * k, 2, 3, b), rhs.reshape(-1, b),
+                lo.reshape(-1, b), hi.reshape(-1, b), ie.reshape(-1, b),
+            )
+
+        normal_packed = pack_pk(jn, dv_n, rhs_n, zeros_pk, inf_pk, ie_n * actf)
+        push_packed = pack_pk(jn, dv_n, rhs_push, zeros_pk, inf_pk, ie_n * actf)
+        jt = jnp.stack([jt1, jt2], axis=2)  # [NP, K, 2, 4, 3, B]
+        dv_t = jnp.stack([dv_t1, dv_t2], axis=2)
+        ie_t = jnp.stack([ie_t1 * actf, ie_t2 * actf], axis=2)
+        friction_packed = _pack(
+            jt.reshape(n_pair * k * 2, 4, 3, b),
+            dv_t.reshape(n_pair * k * 2, 2, 3, b),
+            jnp.zeros((n_pair * k * 2, 2, 3, b)),
+            jnp.zeros((n_pair * k * 2, b)), jnp.zeros((n_pair * k * 2, b)),
+            jnp.zeros((n_pair * k * 2, b)), ie_t.reshape(-1, b),
+        )
+    else:
+        normal_packed = jnp.zeros((0, sp.ROW_F, b))
+        push_packed = jnp.zeros((0, sp.ROW_F, b))
+        friction_packed = jnp.zeros((0, sp.ROW_F, b))
+
+    if n_dyn:
+        member_normal, member_friction, member_push = _member_contact_rows(
+            model, pos, quat, iinv_world, dt
+        )
+    else:
+        member_normal = jnp.zeros((0, sp.ROW_F, b))
+        member_friction = jnp.zeros((0, sp.ROW_F, b))
+        member_push = jnp.zeros((0, sp.ROW_F, b))
+
+    vel6_flat = vel6.reshape(model.n_bodies * 6, b)
+
+    # ---- split-impulse position pass ----
+    push6 = jnp.zeros_like(vel6_flat)
+    n_push = n_pair * k + n_dyn
+    if n_push:
+        nr_pad_p = _round_rows(n_push, chunk)
+        parts = [push_packed, member_push]
+        if nr_pad_p != n_push:
+            parts.append(jnp.zeros((nr_pad_p - n_push, sp.ROW_F, b)))
+        push_rows = jnp.concatenate(parts, 0)
+        idx6_a, idx6_b, parent, mu, kind_arr, skip_b = E._solver_meta(
+            model, "push", n_pair, n_dyn
+        )
+        push6, _ = sp.solver_sweep_envlast(
+            push_rows, jnp.zeros_like(vel6_flat), jnp.zeros((nr_pad_p, b)),
+            idx6_a, idx6_b, parent, mu, model.n_iterations, n_push,
+            kind=kind_arr, skip_b=skip_b, chunk=chunk, interpret=interpret,
+        )
+
+    # ---- warm start contact impulses into velocities ----
+    lam_n0 = warm[..., 0, :]  # [NP, K, B]
+    lam_t0 = warm[..., 1:, :]  # [NP, K, 2, B]
+    if n_pair:
+        imp = (
+            dv_n * lam_n0[:, :, None, None]
+            + dv_t1 * lam_t0[:, :, 0][:, :, None, None]
+            + dv_t2 * lam_t0[:, :, 1][:, :, None, None]
+        ).sum(1)  # [NP, 2, 3, B]
+        oh_c = np.zeros((len(body_np), model.n_bodies), dtype=np.float32)
+        oh_c[np.arange(len(body_np)), body_np] = 1.0
+        vel6 = vel6 + jnp.einsum(
+            "pb,pin->bin", jnp.asarray(oh_c), imp.reshape(n_pair, 6, b)
+        )
+        vel6_flat = vel6.reshape(model.n_bodies * 6, b)
+
+    # ---- velocity pass (fused sweep, canonical row order) ----
+    n_full = nrj + n_pair * k + n_dyn + n_pair * k * 2 + n_dyn * 2
+    nr_pad = _round_rows(n_full, chunk)
+    parts = [joint_packed, normal_packed, member_normal, friction_packed, member_friction]
+    if nr_pad != n_full:
+        parts.append(jnp.zeros((nr_pad - n_full, sp.ROW_F, b)))
+    all_rows = jnp.concatenate(parts, 0)
+    lam0 = jnp.concatenate(
+        [
+            jnp.zeros((nrj, b)),
+            lam_n0.reshape(n_pair * k, b),
+            jnp.zeros((n_dyn, b)),
+            lam_t0.reshape(n_pair * k * 2, b),
+            jnp.zeros((n_dyn * 2, b)),
+            jnp.zeros((nr_pad - n_full, b)),
+        ],
+        0,
+    )
+    idx6_a, idx6_b, parent, mu, kind_arr, skip_b = E._solver_meta(
+        model, "full", n_pair, n_dyn
+    )
+    vel_out, lam_all = sp.solver_sweep_envlast(
+        all_rows, vel6_flat, lam0, idx6_a, idx6_b, parent, mu,
+        model.n_iterations, n_full, kind=kind_arr, skip_b=skip_b,
+        chunk=chunk, interpret=interpret,
+    )
+
+    lam = lam_all[:nrj]
+    if n_pair:
+        lam_n = lam_all[nrj : nrj + n_pair * k].reshape(n_pair, k, b)
+        base_f = nrj + n_pair * k + n_dyn
+        lam_t = lam_all[base_f : base_f + n_pair * k * 2].reshape(n_pair, k, 2, b)
+
+    # ---- integrate + diagnostics (engine._finish_step env-last) ----
+    vel6_out = vel_out.reshape(model.n_bodies, 6, b)
+    lin_out = vel6_out[:, :3]
+    ang_out = vel6_out[:, 3:]
+    push66 = push6.reshape(model.n_bodies, 6, b)
+    new_pos = pos + (lin_out + push66[:, :3]) * dt
+    new_quat = _qintegrate(quat, ang_out + push66[:, 3:] * E.TURN_ERP, dt)
+
+    ns = model.n_slider
+    np2p = model.n_p2p
+    if ns:
+        base_s = nrj - 7 * ns
+        s_ids = base_s + 7 * np.arange(ns)
+        slider_imp = lam[s_ids + 5] + lam[s_ids + 6]
+    else:
+        slider_imp = jnp.zeros((0, b))
+    if np2p:
+        p_ids = 3 * np.arange(np2p)
+        p2p_imp = jnp.sqrt(lam[p_ids] ** 2 + lam[p_ids + 1] ** 2 + lam[p_ids + 2] ** 2)
+    else:
+        p2p_imp = jnp.zeros((0, b))
+
+    floor_contact = jnp.zeros((model.n_bodies, b))
+    if n_pair:
+        oh_c2 = np.zeros((len(body_np), model.n_bodies), dtype=np.float32)
+        oh_c2[np.arange(len(body_np)), body_np] = 1.0
+        touching = (active & (gap_k < 0)).any(axis=1).astype(jnp.float32)
+        floor_contact = jnp.clip(
+            jnp.einsum("pb,pn->bn", jnp.asarray(oh_c2), touching), 0.0, 1.0
+        )
+        new_cl = jnp.stack([lam_n, lam_t[..., 0, :], lam_t[..., 1, :]], axis=2)
+        new_vid = jnp.where(active, vid_k, -1)
+    else:
+        new_cl = contact_lambda
+        new_vid = contact_vid
+
+    return (
+        new_pos, new_quat, lin_out, ang_out, new_cl, new_vid,
+        (slider_lin_pos, slider_imp, p2p_imp, floor_contact),
+    )
+
+
+def vmapped_step(model: PhysicsModel, dt: float, axis_size: int, in_batched,
+                 state, motor_target, motor_enabled):
+    """custom_vmap batch rule for engine.physics_step (solver="pallas").
+
+    Transposes leading-batch args to env-last, pads the batch to a kernel
+    tile (replicating the last env so padded lanes stay numerically tame),
+    runs :func:`step_envlast`, and transposes back."""
+    from . import solver_pallas as sp
+    from .engine import PhysicsState, StepDiagnostics
+
+    st_b, tgt_b, en_b = in_batched
+
+    def bcast(x, batched):
+        return x if batched else jnp.broadcast_to(
+            x[None], (axis_size,) + jnp.shape(x)
+        )
+
+    state = jax.tree.map(bcast, state, st_b)
+    motor_target = bcast(motor_target, tgt_b)
+    motor_enabled = bcast(motor_enabled, en_b)
+
+    b = axis_size
+    pad = (-b) % sp.TILE
+
+    def to_last(x):
+        x = jnp.moveaxis(x, 0, -1)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(x[..., -1:], x.shape[:-1] + (pad,))], -1
+            )
+        return x
+
+    out = step_envlast(
+        model, dt,
+        to_last(state.pos), to_last(state.quat),
+        to_last(state.lin_vel), to_last(state.ang_vel),
+        to_last(state.contact_lambda), to_last(state.contact_vid),
+        to_last(motor_target), to_last(motor_enabled),
+    )
+    pos, quat, lin, ang, cl, vid, diag = out
+
+    def to_first(x):
+        return jnp.moveaxis(x[..., :b], -1, 0)
+
+    new_state = PhysicsState(
+        pos=to_first(pos), quat=to_first(quat), lin_vel=to_first(lin),
+        ang_vel=to_first(ang), contact_lambda=to_first(cl),
+        contact_vid=to_first(vid),
+    )
+    diag_out = StepDiagnostics(
+        slider_lin_pos=to_first(diag[0]),
+        slider_applied_impulse=to_first(diag[1]),
+        p2p_applied_impulse=to_first(diag[2]),
+        floor_contact=to_first(diag[3]),
+    )
+    return (new_state, diag_out), (
+        jax.tree.map(lambda _: True, new_state),
+        jax.tree.map(lambda _: True, diag_out),
+    )

@@ -90,6 +90,15 @@ class StepDiagnostics(NamedTuple):
     floor_contact: jnp.ndarray  # [NB] 1.0 if any active static contact
 
 
+def default_solver() -> str:
+    """Default velocity-solver backend: the fused pallas sweep on real TPUs
+    (strict Bullet row order — the parity AND perf backend), the colored-phase
+    xla loop elsewhere (CPU tests; interpret-mode pallas compiles too slowly
+    for big models). Envs construct their models with this so training,
+    inference, and the bench all run the same backend."""
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def n_manifold_pairs(model: PhysicsModel) -> int:
     """Pairs that currently generate contact manifolds (body vs static)."""
     if len(model.pair_body) == 0:
@@ -758,7 +767,12 @@ def _get_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int =
     )
 
 
-def _build_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int):
+def _solver_meta(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int):
+    """Static per-row solver metadata (body offsets, bound kinds, friction
+    parents) in the canonical full/push row order — shared by the per-env
+    custom_vmap wrapper below and the env-last batched path (batched.py).
+
+    Returns (idx6_a, idx6_b, parent, mu, kind_arr, skip_b)."""
     from . import solver_pallas as sp
 
     k = MAX_CONTACTS_PER_PAIR
@@ -823,7 +837,15 @@ def _build_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int
         skip_b = np.concatenate(
             [np.ones(n_pair * k, bool), np.zeros(n_dyn, bool)]
         )
+    return idx6_a, idx6_b, parent, mu, kind_arr, skip_b
 
+
+def _build_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int):
+    from . import solver_pallas as sp
+
+    idx6_a, idx6_b, parent, mu, kind_arr, skip_b = _solver_meta(
+        model, kind, n_pair, n_dyn
+    )
     n_iters = model.n_iterations
     interpret = jax.default_backend() != "tpu"
     import os
@@ -905,7 +927,45 @@ def physics_step(
     scaled: action * max_speed — muscle_controller.cpp:10-12, slider.cpp:11-13).
     motor_enabled: [NS] bool (cartpole disables its motor during reset settle,
     cartpole.cpp:168-178).
+
+    On the pallas backend this function carries a custom vmap rule: vmapping
+    it over an env batch routes to the env-last implementation in batched.py
+    (dense lane tiling, rows built directly in the kernel layout) instead of
+    batching the per-env code op by op.
     """
+    if model.solver == "pallas":
+        step = _get_step_cached(model, float(dt), lambda: _build_custom_step(model, float(dt)))
+        return step(state, motor_target, motor_enabled)
+    return _physics_step_impl(model, state, motor_target, motor_enabled, dt)
+
+
+_get_step_cached = _model_cache("steps")
+
+
+def _build_custom_step(model: PhysicsModel, dt: float):
+    @jax.custom_batching.custom_vmap
+    def step(state, motor_target, motor_enabled):
+        return _physics_step_impl(model, state, motor_target, motor_enabled, dt)
+
+    @step.def_vmap
+    def _rule(axis_size, in_batched, state, motor_target, motor_enabled):
+        from . import batched
+
+        return batched.vmapped_step(
+            model, dt, axis_size, in_batched, state, motor_target, motor_enabled
+        )
+
+    return step
+
+
+def _physics_step_impl(
+    model: PhysicsModel,
+    state: PhysicsState,
+    motor_target: jnp.ndarray,
+    motor_enabled: jnp.ndarray,
+    dt: float,
+) -> tuple[PhysicsState, StepDiagnostics]:
+    """Single-env step body (both solver backends; see physics_step)."""
     dyn = (model_arr(model.inv_mass) > 0).astype(jnp.float32)[:, None]
 
     # 1. gravity

@@ -233,3 +233,164 @@ def solver_sweep(
     vel6_out = from_tiled(vel_out, (nb * 6,)).reshape(b, nb, 6)
     lam_flat = from_tiled(lam_out, (nr_pad,))[:, :nr]
     return vel6_out, lam_flat
+
+
+def solver_sweep_envlast(
+    row_data: jnp.ndarray,  # [NR_pad, ROW_F, B] — env axis LAST (on lanes)
+    vel6: jnp.ndarray,  # [NB*6, B]
+    lam0: jnp.ndarray,  # [NR_pad, B]
+    idx6_a: np.ndarray,
+    idx6_b: np.ndarray,
+    parent: np.ndarray,
+    mu: np.ndarray,
+    n_iters: int,
+    n_rows: int,  # real rows (row_data is already padded to NR_pad)
+    kind: np.ndarray | None = None,
+    skip_b: np.ndarray | None = None,
+    chunk: int = 8,
+    n_buf: int = 4,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Env-last variant of :func:`solver_sweep`.
+
+    With the env batch on the LAST axis, the (SUB, LANE) kernel tiling is a
+    pure reshape of the caller's arrays — no transposes touch HBM. Callers
+    (physics/batched.py) build row data directly in this layout. B must be a
+    multiple of TILE and NR_pad a multiple of chunk*n_buf (callers pad with
+    zero rows at build time, which is free inside their one concatenate)."""
+    nr_pad, _, b = row_data.shape
+    nb6 = vel6.shape[0]
+    assert b % TILE == 0, f"batch {b} must be a multiple of {TILE}"
+    assert nr_pad % (chunk * n_buf) == 0, (nr_pad, chunk, n_buf)
+    g = b // TILE
+    n_chunks = nr_pad // chunk
+
+    nr = n_rows
+    if kind is None:
+        kind = np.where(parent >= 0, KIND_FRICTION, KIND_JOINT)
+    if skip_b is None:
+        skip_b = np.zeros(nr, dtype=bool)
+    meta = tuple(
+        (int(idx6_a[i]), int(idx6_b[i]), int(kind[i]), float(mu[i]),
+         int(parent[i]), bool(skip_b[i]))
+        for i in range(nr)
+    )
+
+    # the big row array keeps its env-last layout (pure reshape; it lives in
+    # HBM and the kernel DMAs [chunk, ROW_F, tile] slices manually). The small
+    # vel/lam VMEM operands need the grid axis LEADING so Mosaic pipelines
+    # per-tile blocks instead of keeping the whole array VMEM-resident
+    # (observed: scoped-vmem OOM with the grid axis in the middle).
+    rd = row_data.reshape(nr_pad, ROW_F, g, SUB, LANE)
+    v = jnp.transpose(vel6.reshape(nb6, g, SUB, LANE), (1, 0, 2, 3))
+    l0 = jnp.transpose(lam0.reshape(nr_pad, g, SUB, LANE), (1, 0, 2, 3))
+
+    def kernel(row_r, vel_r, lam_r, velo_r, lamo_r, buf, sem):
+        _sweep_kernel_envlast(
+            row_r, vel_r.at[0], lam_r.at[0], velo_r.at[0],
+            lamo_r.at[0], buf, sem,
+            meta=meta, n_iters=n_iters, chunk=chunk, n_chunks=n_chunks,
+            n_buf=n_buf,
+        )
+
+    vel_out, lam_out = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((g, nb6, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((g, nr_pad, SUB, LANE), jnp.float32),
+        ],
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # rows stay in HBM
+            pl.BlockSpec(
+                (1, nb6, SUB, LANE), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nr_pad, SUB, LANE), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, nb6, SUB, LANE), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nr_pad, SUB, LANE), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_buf, chunk, ROW_F, SUB, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+        ],
+        interpret=interpret,
+    )(rd, v, l0)
+
+    return (
+        jnp.transpose(vel_out, (1, 0, 2, 3)).reshape(nb6, b),
+        jnp.transpose(lam_out, (1, 0, 2, 3)).reshape(nr_pad, b),
+    )
+
+
+def _sweep_kernel_envlast(
+    row_hbm,  # [NR_pad, ROW_F, G, SUB, LANE] in ANY/HBM
+    vel_in, lam_in, vel_out, lam_out,  # VMEM tile views [X, SUB, LANE]
+    buf, sem,
+    *, meta, n_iters, chunk, n_chunks, n_buf,
+):
+    """Same sweep as :func:`_sweep_kernel`, but the HBM row array carries the
+    grid dim third (env-last host layout) so the chunk DMA slices rows first."""
+    tile = pl.program_id(0)
+
+    vel_out[...] = vel_in[...]
+    lam_out[...] = lam_in[...]
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            row_hbm.at[pl.ds(c * chunk, chunk), :, tile], buf.at[slot], sem.at[slot]
+        )
+
+    for w in range(n_buf - 1):
+        dma(w, w).start()
+
+    def iter_body(_, carry):
+        for c in range(n_chunks):
+            nxt = (c + n_buf - 1) % n_chunks
+            dma(nxt % n_buf, nxt).start()
+            dma(c % n_buf, c).wait()
+            slot = c % n_buf
+            for r in range(chunk):
+                rid = c * chunk + r
+                if rid >= len(meta):
+                    continue
+                ia6, ib6, kind_r, mu_r, parent_r, skip_b_r = meta[rid]
+                rd = buf[slot, r]  # [ROW_F, SUB, LANE]
+                va = vel_out[ia6:ia6 + 6]
+                jv = jnp.sum(rd[_J0:_J0 + 6] * va, axis=0)
+                if not skip_b_r:
+                    vb = vel_out[ib6:ib6 + 6]
+                    jv = jv + jnp.sum(rd[_J0 + 6:_J0 + 12] * vb, axis=0)
+
+                lam_r = lam_out[rid]
+                delta = (rd[_RHS] - jv) * rd[_IEF]
+                cand = lam_r + delta
+                if kind_r == KIND_JOINT:
+                    new_l = jnp.clip(cand, rd[_LO], rd[_HI])
+                elif kind_r == KIND_NORMAL:
+                    new_l = jnp.maximum(cand, 0.0)
+                else:
+                    lim = mu_r * lam_out[parent_r]
+                    new_l = jnp.clip(cand, -lim, lim)
+                d = new_l - lam_r
+                lam_out[rid] = new_l
+                vel_out[ia6:ia6 + 6] = va + rd[_DVA:_DVA + 6] * d[None]
+                if not skip_b_r:
+                    vel_out[ib6:ib6 + 6] = vb + rd[_DVB:_DVB + 6] * d[None]
+        return carry
+
+    jax.lax.fori_loop(0, n_iters, iter_body, 0)
+
+    for w in range(n_buf - 1):
+        dma(w, w).wait()

@@ -71,9 +71,18 @@ def train_batched(
     """TPU-first batched trainer: N envs in lockstep, jitted rollout+update.
 
     `episodes` is interpreted as train iterations per save (each iteration
-    covers horizon*num_envs env steps)."""
+    covers horizon*num_envs env steps). Supported agents: ppo_gae (on-policy
+    GAE tier, ppo_batched.py) and soft_actor_critic / cross_q (device
+    ring-buffer tier, offpolicy_batched.py)."""
+    if agent_name in ("soft_actor_critic", "cross_q"):
+        return _train_batched_offpolicy(
+            env_seed, env_factory, agent_params, num_envs, episodes, nb_saves,
+            output_path, agent_name,
+        )
     if agent_name not in ("ppo_gae", "ppo"):
-        raise SystemExit(f"batched training currently supports ppo_gae, not {agent_name}")
+        raise SystemExit(
+            f"batched training supports ppo_gae/soft_actor_critic/cross_q, not {agent_name}"
+        )
     from ..train.ppo_batched import BatchedPpo, PpoConfig
     from ..train.checkpoint import save_component
 
@@ -118,6 +127,53 @@ def train_batched(
         save_component(save_dir, "critic", state.critic_params)
         save_component(save_dir, "actor_optimizer", state.actor_opt_state)
         save_component(save_dir, "critic_optimizer", state.critic_opt_state)
+    print()
+    return 0
+
+
+def _train_batched_offpolicy(
+    env_seed, env_factory, agent_params, num_envs, episodes, nb_saves,
+    output_path, agent_name,
+):
+    """SAC/CrossQ batched tier: device ring buffer, jitted rollout+updates."""
+    from ..train.offpolicy_batched import BatchedOffPolicy, OffPolicyConfig
+
+    env = env_factory.make(env_seed, mt_parity=False)
+    g = lambda k, d: type(d)(agent_params[k]) if k in agent_params else d
+    cfg = OffPolicyConfig(
+        actor_hidden_size=g("hidden_size", 256),
+        critic_hidden_size=g("critic_hidden_size", g("hidden_size", 256)),
+        batch_size=g("batch_size", 256),
+        epoch=g("epoch", 1),
+        learning_rate=g("learning_rate", 3e-4),
+        gamma=g("gamma", 0.99),
+        tau=g("tau", 0.005),
+        train_every=g("train_every", 1),
+        steps_per_iter=g("horizon", 64),
+        n_envs=num_envs,
+        buffer_capacity=g("replay_buffer_size", 262144),
+    )
+    trainer = BatchedOffPolicy(env, agent_name, cfg, seed=g("seed", env_seed))
+    train_step = jax.jit(trainer.train_step_fn())
+    state = trainer.init()
+    os.makedirs(output_path, exist_ok=True)
+
+    t0 = time.time()
+    for s in range(nb_saves):
+        for e in range(episodes):
+            state, metrics = train_step(state)
+            if e % 10 == 0 or e == episodes - 1:
+                m = jax.tree.map(float, metrics)
+                steps_done = (s * episodes + e + 1) * cfg.steps_per_iter * num_envs
+                sps = steps_done / (time.time() - t0)
+                _progress(
+                    f"save {s} actor={m.actor_loss:.4f} critic={m.critic_1_loss:.4f} "
+                    f"r/step={m.mean_reward:.4f} {sps:,.0f} env-steps/s",
+                    e + 1, episodes, t0,
+                )
+        save_dir = os.path.join(output_path, f"save_{s}")
+        os.makedirs(save_dir, exist_ok=True)
+        trainer.save(save_dir, state)
     print()
     return 0
 

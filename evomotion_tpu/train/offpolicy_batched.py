@@ -1,0 +1,270 @@
+"""Batched off-policy trainers (SAC / CrossQ) — device ring buffer + jitted loop.
+
+Reference counterpart: the sequential train loop (src/train.cpp:17-87) with
+SoftActorCriticAgent (soft_actor_critic.cpp:16-251) or CrossQAgent
+(cross_q.cpp:9-239), which trains `epoch` sampled batches every `train_every`
+env steps. TPU-native redesign: N envs advance in lockstep, transitions land
+in a PREALLOCATED DEVICE RING BUFFER (no host traffic), and one jitted
+iteration = [T-step rollout scan] + [ring write] + [update scan].
+
+The update math is the sequential agents' own jitted train functions
+(SoftActorCriticAgent._make_train_fn / CrossQAgent._make_train_fn) — one
+source of truth for the losses, clamps, Adam betas, and Polyak updates.
+
+Cadence: the reference triggers one train event (epoch batches) every
+`train_every` steps of its ONE env. Here the env batch is treated as one
+time stream: `updates_per_iter = max(1, steps_per_iter // train_every)`
+train events per iteration (not scaled by N — N envs collect N times the
+data per wall-time step, but gradient-step cadence follows time, keeping the
+update:data ratio tunable via `train_every` exactly like the reference).
+
+Sampling: uniform over valid buffer entries via inverse-CDF binary search,
+with the newest written element excluded (the reference's newest-excluded
+quirk, replay_buffer.cpp:50-52). Settle-phase frames (envs/base.py `valid`)
+never enter the sampled set: a transition is trainable iff both its input
+observation and its result are valid episode frames — matching the reference,
+whose buffer only ever sees real steps because reset() blocks through the
+settle loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..networks import distributions as D
+from ..networks.modules import actor_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class OffPolicyConfig:
+    actor_hidden_size: int = 256
+    critic_hidden_size: int = 256
+    batch_size: int = 256
+    epoch: int = 1
+    learning_rate: float = 3e-4
+    gamma: float = 0.99
+    tau: float = 0.005  # SAC only
+    train_every: int = 1
+    steps_per_iter: int = 64  # rollout length T per train iteration
+    n_envs: int = 1024
+    buffer_capacity: int = 262144  # rounded up to a multiple of T*N
+
+
+class Ring(NamedTuple):
+    """Device ring buffer of transitions, [CAP, ...]."""
+
+    obs: jnp.ndarray
+    action: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+    next_obs: jnp.ndarray
+    valid: jnp.ndarray  # f32: trainable transition
+    cursor: jnp.ndarray  # int32 next write slot
+    filled: jnp.ndarray  # int32 entries ever written (capped at CAP)
+
+
+class OffPolicyTrainState(NamedTuple):
+    carry: Any  # the agent's parameter/optimizer carry tuple
+    ring: Ring
+    env_state: Any
+    obs: jnp.ndarray
+    prev_valid: jnp.ndarray  # [N] input-obs validity for the next transition
+    key: jnp.ndarray
+    iteration: jnp.ndarray
+
+
+class OffPolicyMetrics(NamedTuple):
+    actor_loss: jnp.ndarray
+    critic_1_loss: jnp.ndarray
+    critic_2_loss: jnp.ndarray
+    entropy_loss: jnp.ndarray
+    mean_reward: jnp.ndarray
+    episodes_done: jnp.ndarray
+    updates_done: jnp.ndarray
+
+
+class BatchedOffPolicy:
+    """algo: "soft_actor_critic" or "cross_q"."""
+
+    def __init__(self, env, algo: str, config: OffPolicyConfig = OffPolicyConfig(),
+                 seed: int = 1234):
+        self.env = env
+        self.algo = algo
+        cfg = config
+        block = cfg.steps_per_iter * cfg.n_envs
+        cap = max(cfg.buffer_capacity, block)
+        cap = ((cap + block - 1) // block) * block
+        self.capacity = cap
+        self.config = cfg
+        self.seed = seed
+
+        if algo == "soft_actor_critic":
+            from ..agents.soft_actor_critic import SoftActorCriticAgent
+
+            self.agent = SoftActorCriticAgent(
+                seed, env.observation_size, env.action_size,
+                cfg.actor_hidden_size, cfg.critic_hidden_size, cfg.batch_size,
+                cfg.epoch, cfg.learning_rate, cfg.gamma, cfg.tau,
+                replay_buffer_size=1, train_every=cfg.train_every,
+            )
+        elif algo == "cross_q":
+            from ..agents.cross_q import CrossQAgent
+
+            self.agent = CrossQAgent(
+                seed, env.observation_size, env.action_size,
+                cfg.actor_hidden_size, cfg.critic_hidden_size, cfg.batch_size,
+                cfg.epoch, cfg.learning_rate, cfg.gamma,
+                replay_buffer_size=1, train_every=cfg.train_every,
+            )
+        else:
+            raise ValueError(f"unsupported off-policy algo: {algo}")
+        self._update_fn = self.agent._make_train_fn()
+        self.updates_per_iter = max(1, cfg.steps_per_iter // cfg.train_every)
+
+    # -- state ------------------------------------------------------------
+
+    def init(self, key=None) -> OffPolicyTrainState:
+        cfg = self.config
+        key = jax.random.PRNGKey(self.seed) if key is None else key
+        ke, key = jax.random.split(key)
+        env_keys = jax.random.split(ke, cfg.n_envs)
+        env_state, first = jax.vmap(self.env.reset)(env_keys)
+        s, a = self.env.observation_size, self.env.action_size
+        cap = self.capacity
+        ring = Ring(
+            obs=jnp.zeros((cap, s)),
+            action=jnp.zeros((cap, a)),
+            reward=jnp.zeros((cap,)),
+            done=jnp.zeros((cap,)),
+            next_obs=jnp.zeros((cap, s)),
+            valid=jnp.zeros((cap,)),
+            cursor=jnp.int32(0),
+            filled=jnp.int32(0),
+        )
+        return OffPolicyTrainState(
+            carry=self.agent._carry(),
+            ring=ring,
+            env_state=env_state,
+            obs=first.obs,
+            prev_valid=first.valid
+            if first.valid.shape == (cfg.n_envs,)
+            else jnp.ones((cfg.n_envs,), bool),
+            key=key,
+            iteration=jnp.int32(0),
+        )
+
+    # -- one jitted iteration ----------------------------------------------
+
+    def train_step_fn(self):
+        cfg = self.config
+        env_step = jax.vmap(self.env.step)
+        cap = self.capacity
+        block = cfg.steps_per_iter * cfg.n_envs
+        n_events = self.updates_per_iter
+        update = self._update_fn
+
+        def rollout(carry_params, env_state, obs, prev_valid, key):
+            actor_params = carry_params[0]
+
+            def step(c, k):
+                env_state, obs, prev_valid = c
+                mu, sigma = actor_apply(actor_params, obs)
+                action = D.truncated_normal_sample(k, mu, sigma)
+                env_state, res = env_step(env_state, action)
+                trainable = prev_valid & res.valid
+                out = (obs, action, res.reward, res.done, res.obs,
+                       trainable.astype(jnp.float32))
+                return (env_state, res.obs, res.valid), out
+
+            keys = jax.random.split(key, cfg.steps_per_iter)
+            (env_state, obs, prev_valid), traj = jax.lax.scan(
+                step, (env_state, obs, prev_valid), keys
+            )
+            return env_state, obs, prev_valid, traj
+
+        def train_step(state: OffPolicyTrainState):
+            key, k_roll, k_upd = jax.random.split(state.key, 3)
+            env_state, obs, prev_valid, traj = rollout(
+                state.carry, state.env_state, state.obs, state.prev_valid, k_roll
+            )
+            t_obs, t_act, t_rew, t_done, t_next, t_valid = jax.tree.map(
+                lambda x: x.reshape((block,) + x.shape[2:]), traj
+            )
+
+            ring = state.ring
+            cur = ring.cursor
+            ring = Ring(
+                obs=jax.lax.dynamic_update_slice_in_dim(ring.obs, t_obs, cur, 0),
+                action=jax.lax.dynamic_update_slice_in_dim(ring.action, t_act, cur, 0),
+                reward=jax.lax.dynamic_update_slice_in_dim(ring.reward, t_rew, cur, 0),
+                done=jax.lax.dynamic_update_slice_in_dim(
+                    ring.done, t_done.astype(jnp.float32), cur, 0
+                ),
+                next_obs=jax.lax.dynamic_update_slice_in_dim(ring.next_obs, t_next, cur, 0),
+                valid=jax.lax.dynamic_update_slice_in_dim(ring.valid, t_valid, cur, 0),
+                cursor=(cur + block) % cap,
+                filled=jnp.minimum(ring.filled + block, cap),
+            )
+
+            # sampling weights: valid entries, newest written slot excluded
+            # (replay_buffer.cpp:50-52 samples size-1 of size)
+            last = (ring.cursor - 1) % cap
+            weights = ring.valid.at[last].set(0.0)
+            cdf = jnp.cumsum(weights)
+            total = cdf[-1]
+            has_enough = total >= cfg.batch_size
+
+            def do_updates(carry):
+                def one_update(c, k):
+                    ks, kt = jax.random.split(k)
+                    u = jax.random.uniform(ks, (cfg.batch_size,)) * total
+                    idx = jnp.searchsorted(cdf, u, side="left")
+                    batch = (
+                        ring.obs[idx], ring.action[idx], ring.reward[idx][:, None],
+                        ring.done[idx][:, None], ring.next_obs[idx],
+                    )
+                    c, losses = update(c, kt, *batch)
+                    return c, losses
+
+                keys = jax.random.split(k_upd, n_events * cfg.epoch)
+                return jax.lax.scan(one_update, carry, keys)
+
+            def no_updates(carry):
+                z = jnp.zeros((n_events * cfg.epoch,))
+                return carry, (z, z, z, z)
+
+            carry, (a_l, c1_l, c2_l, e_l) = jax.lax.cond(
+                has_enough, do_updates, no_updates, state.carry
+            )
+
+            state = OffPolicyTrainState(
+                carry=carry, ring=ring, env_state=env_state, obs=obs,
+                prev_valid=prev_valid, key=key, iteration=state.iteration + 1,
+            )
+            nv = jnp.maximum(t_valid.sum(), 1.0)
+            metrics = OffPolicyMetrics(
+                actor_loss=a_l.mean(),
+                critic_1_loss=c1_l.mean(),
+                critic_2_loss=c2_l.mean(),
+                entropy_loss=e_l.mean(),
+                mean_reward=(t_rew * t_valid).sum() / nv,
+                episodes_done=t_done.sum(),
+                updates_done=jnp.where(has_enough, n_events * cfg.epoch, 0),
+            )
+            return state, metrics
+
+        return train_step
+
+    # -- checkpointing (same per-component layout as the sequential agent) --
+
+    def save(self, folder: str, state: OffPolicyTrainState) -> None:
+        self.agent._uncarry(state.carry)
+        self.agent.save(folder)
+
+    def load_carry(self, folder: str):
+        self.agent.load(folder)
+        return self.agent._carry()
