@@ -160,17 +160,21 @@ def _ang_rows(dirs):
     return jnp.stack([zeros, dirs, zeros, -dirs], axis=-3)
 
 
-def _pack(j, dv_a, dv_b, rhs, lo, hi, inv_eff):
-    """Pack one kind's rows into [n, 28, B].
+def _pack(j, dv_a, dv_b, rhs, lo, hi, inv_eff, rhs_push=None):
+    """Pack one kind's rows into [n, ROW_FP, B].
 
-    j [n, 4, 3, B]; dv [n, 2, 3, B]; scalars [n, B]."""
+    j [n, 4, 3, B]; dv [n, 2, 3, B]; scalars [n, B]. rhs_push fills the
+    split-impulse column of contact normal rows (zero elsewhere)."""
     n, _, _, b = j.shape
+    if rhs_push is None:
+        rhs_push = jnp.zeros_like(rhs)
     return jnp.concatenate(
         [
             j.reshape(n, 12, b),
             dv_a.reshape(n, 6, b),
             dv_b.reshape(n, 6, b),
             rhs[:, None], lo[:, None], hi[:, None], inv_eff[:, None],
+            rhs_push[:, None],
         ],
         axis=1,
     )
@@ -524,11 +528,10 @@ def _member_contact_rows(model: PhysicsModel, pos, quat, iinv_world, dt):
     ndp = len(dp)
     jn_m, dva_n, dvb_n, ie_n = rows_for(n)
     rhs_n = jnp.where(gap > 0, -gap / dt, 0.0)
+    rhs_push = jnp.where(gap < 0, -gap * E.ERP2 / dt, 0.0)
     zeros = jnp.zeros((ndp, b))
     inf_ = jnp.full((ndp, b), jnp.inf)
-    normal_rows = _pack(jn_m, dva_n, dvb_n, rhs_n, zeros, inf_, ie_n * act)
-    rhs_push = jnp.where(gap < 0, -gap * E.ERP2 / dt, 0.0)
-    push_rows = _pack(jn_m, dva_n, dvb_n, rhs_push, zeros, inf_, ie_n * act)
+    normal_rows = _pack(jn_m, dva_n, dvb_n, rhs_n, zeros, inf_, ie_n * act, rhs_push)
 
     t1, t2 = _plane_space(n)
     fr = []
@@ -536,7 +539,7 @@ def _member_contact_rows(model: PhysicsModel, pos, quat, iinv_world, dt):
         jt, dva_t, dvb_t, ie_t = rows_for(d)
         fr.append(_pack(jt, dva_t, dvb_t, zeros, zeros, zeros, ie_t * act))
     friction_rows = jnp.stack(fr, axis=1).reshape(ndp * 2, -1, b)
-    return normal_rows, friction_rows, push_rows
+    return normal_rows, friction_rows
 
 
 # ---------------------------------------------------------------------------
@@ -625,15 +628,17 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
         inf_pk = jnp.full((n_pair, k, b), jnp.inf)
         dvz = jnp.zeros_like(dv_n)
 
-        def pack_pk(j, dv, rhs, lo, hi, ie):
+        def pack_pk(j, dv, rhs, lo, hi, ie, rhs_push=None):
             return _pack(
                 j.reshape(n_pair * k, 4, 3, b), dv.reshape(n_pair * k, 2, 3, b),
                 dvz.reshape(n_pair * k, 2, 3, b), rhs.reshape(-1, b),
                 lo.reshape(-1, b), hi.reshape(-1, b), ie.reshape(-1, b),
+                None if rhs_push is None else rhs_push.reshape(-1, b),
             )
 
-        normal_packed = pack_pk(jn, dv_n, rhs_n, zeros_pk, inf_pk, ie_n * actf)
-        push_packed = pack_pk(jn, dv_n, rhs_push, zeros_pk, inf_pk, ie_n * actf)
+        normal_packed = pack_pk(
+            jn, dv_n, rhs_n, zeros_pk, inf_pk, ie_n * actf, rhs_push
+        )
         jt = jnp.stack([jt1, jt2], axis=2)  # [NP, K, 2, 4, 3, B]
         dv_t = jnp.stack([dv_t1, dv_t2], axis=2)
         ie_t = jnp.stack([ie_t1 * actf, ie_t2 * actf], axis=2)
@@ -645,38 +650,18 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
             jnp.zeros((n_pair * k * 2, b)), ie_t.reshape(-1, b),
         )
     else:
-        normal_packed = jnp.zeros((0, sp.ROW_F, b))
-        push_packed = jnp.zeros((0, sp.ROW_F, b))
-        friction_packed = jnp.zeros((0, sp.ROW_F, b))
+        normal_packed = jnp.zeros((0, sp.ROW_FP, b))
+        friction_packed = jnp.zeros((0, sp.ROW_FP, b))
 
     if n_dyn:
-        member_normal, member_friction, member_push = _member_contact_rows(
+        member_normal, member_friction = _member_contact_rows(
             model, pos, quat, iinv_world, dt
         )
     else:
-        member_normal = jnp.zeros((0, sp.ROW_F, b))
-        member_friction = jnp.zeros((0, sp.ROW_F, b))
-        member_push = jnp.zeros((0, sp.ROW_F, b))
+        member_normal = jnp.zeros((0, sp.ROW_FP, b))
+        member_friction = jnp.zeros((0, sp.ROW_FP, b))
 
     vel6_flat = vel6.reshape(model.n_bodies * 6, b)
-
-    # ---- split-impulse position pass ----
-    push6 = jnp.zeros_like(vel6_flat)
-    n_push = n_pair * k + n_dyn
-    if n_push:
-        nr_pad_p = _round_rows(n_push, chunk)
-        parts = [push_packed, member_push]
-        if nr_pad_p != n_push:
-            parts.append(jnp.zeros((nr_pad_p - n_push, sp.ROW_F, b)))
-        push_rows = jnp.concatenate(parts, 0)
-        idx6_a, idx6_b, parent, mu, kind_arr, skip_b = E._solver_meta(
-            model, "push", n_pair, n_dyn
-        )
-        push6, _ = sp.solver_sweep_envlast(
-            push_rows, jnp.zeros_like(vel6_flat), jnp.zeros((nr_pad_p, b)),
-            idx6_a, idx6_b, parent, mu, model.n_iterations, n_push,
-            kind=kind_arr, skip_b=skip_b, chunk=chunk, interpret=interpret,
-        )
 
     # ---- warm start contact impulses into velocities ----
     lam_n0 = warm[..., 0, :]  # [NP, K, B]
@@ -694,12 +679,12 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
         )
         vel6_flat = vel6.reshape(model.n_bodies * 6, b)
 
-    # ---- velocity pass (fused sweep, canonical row order) ----
+    # ---- velocity pass + fused split-impulse (one sweep, canonical order) ----
     n_full = nrj + n_pair * k + n_dyn + n_pair * k * 2 + n_dyn * 2
     nr_pad = _round_rows(n_full, chunk)
     parts = [joint_packed, normal_packed, member_normal, friction_packed, member_friction]
     if nr_pad != n_full:
-        parts.append(jnp.zeros((nr_pad - n_full, sp.ROW_F, b)))
+        parts.append(jnp.zeros((nr_pad - n_full, sp.ROW_FP, b)))
     all_rows = jnp.concatenate(parts, 0)
     lam0 = jnp.concatenate(
         [
@@ -715,7 +700,7 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
     idx6_a, idx6_b, parent, mu, kind_arr, skip_b = E._solver_meta(
         model, "full", n_pair, n_dyn
     )
-    vel_out, lam_all = sp.solver_sweep_envlast(
+    vel_out, lam_all, push6 = sp.solver_sweep_envlast(
         all_rows, vel6_flat, lam0, idx6_a, idx6_b, parent, mu,
         model.n_iterations, n_full, kind=kind_arr, skip_b=skip_b,
         chunk=chunk, interpret=interpret,

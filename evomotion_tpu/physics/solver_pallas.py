@@ -41,6 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 # per-row streamed floats: j (12) + dv_a (6) + dv_b (6) + rhs, lo, hi, inv_eff
 ROW_F = 28
 _J0, _DVA, _DVB, _RHS, _LO, _HI, _IEF = 0, 12, 18, 24, 25, 26, 27
+# env-last layout adds the split-impulse rhs (contact normal rows) so the
+# position pass runs fused in the same sweep instead of a second kernel
+ROW_FP = 29
+_RHSP = 28
 
 LANE = 128
 SUB = 8
@@ -236,7 +240,7 @@ def solver_sweep(
 
 
 def solver_sweep_envlast(
-    row_data: jnp.ndarray,  # [NR_pad, ROW_F, B] — env axis LAST (on lanes)
+    row_data: jnp.ndarray,  # [NR_pad, ROW_FP, B] — env axis LAST (on lanes)
     vel6: jnp.ndarray,  # [NB*6, B]
     lam0: jnp.ndarray,  # [NR_pad, B]
     idx6_a: np.ndarray,
@@ -250,16 +254,27 @@ def solver_sweep_envlast(
     chunk: int = 8,
     n_buf: int = 4,
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Env-last variant of :func:`solver_sweep`.
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Env-last variant of :func:`solver_sweep` with the split-impulse
+    position pass FUSED into the same sweep.
 
     With the env batch on the LAST axis, the (SUB, LANE) kernel tiling is a
     pure reshape of the caller's arrays — no transposes touch HBM. Callers
     (physics/batched.py) build row data directly in this layout. B must be a
     multiple of TILE and NR_pad a multiple of chunk*n_buf (callers pad with
-    zero rows at build time, which is free inside their one concatenate)."""
+    zero rows at build time, which is free inside their one concatenate).
+
+    Contact normal rows (KIND_NORMAL) carry the position-pass rhs at float
+    _RHSP; each visit updates BOTH the velocity accumulator (Bullet's
+    velocity iterations) and an independent push-velocity accumulator
+    (solveGroupCacheFriendlySplitImpulse). The passes share no state, so
+    interleaving them is numerically identical to Bullet's
+    push-then-velocity phase order while streaming the row data once.
+
+    Returns (vel6', lam', push_vel6)."""
     nr_pad, _, b = row_data.shape
     nb6 = vel6.shape[0]
+    assert row_data.shape[1] == ROW_FP, row_data.shape
     assert b % TILE == 0, f"batch {b} must be a multiple of {TILE}"
     assert nr_pad % (chunk * n_buf) == 0, (nr_pad, chunk, n_buf)
     g = b // TILE
@@ -270,9 +285,14 @@ def solver_sweep_envlast(
         kind = np.where(parent >= 0, KIND_FRICTION, KIND_JOINT)
     if skip_b is None:
         skip_b = np.zeros(nr, dtype=bool)
+    # compact push-accumulator slot per contact normal row
+    push_slot = np.where(
+        kind[:nr] == KIND_NORMAL, np.cumsum(kind[:nr] == KIND_NORMAL) - 1, -1
+    )
+    n_push = max(int((kind[:nr] == KIND_NORMAL).sum()), 1)
     meta = tuple(
         (int(idx6_a[i]), int(idx6_b[i]), int(kind[i]), float(mu[i]),
-         int(parent[i]), bool(skip_b[i]))
+         int(parent[i]), bool(skip_b[i]), int(push_slot[i]))
         for i in range(nr)
     )
 
@@ -281,23 +301,24 @@ def solver_sweep_envlast(
     # vel/lam VMEM operands need the grid axis LEADING so Mosaic pipelines
     # per-tile blocks instead of keeping the whole array VMEM-resident
     # (observed: scoped-vmem OOM with the grid axis in the middle).
-    rd = row_data.reshape(nr_pad, ROW_F, g, SUB, LANE)
+    rd = row_data.reshape(nr_pad, ROW_FP, g, SUB, LANE)
     v = jnp.transpose(vel6.reshape(nb6, g, SUB, LANE), (1, 0, 2, 3))
     l0 = jnp.transpose(lam0.reshape(nr_pad, g, SUB, LANE), (1, 0, 2, 3))
 
-    def kernel(row_r, vel_r, lam_r, velo_r, lamo_r, buf, sem):
+    def kernel(row_r, vel_r, lam_r, velo_r, lamo_r, pvo_r, buf, pv, plam, sem):
         _sweep_kernel_envlast(
             row_r, vel_r.at[0], lam_r.at[0], velo_r.at[0],
-            lamo_r.at[0], buf, sem,
+            lamo_r.at[0], pvo_r.at[0], buf, pv, plam, sem,
             meta=meta, n_iters=n_iters, chunk=chunk, n_chunks=n_chunks,
             n_buf=n_buf,
         )
 
-    vel_out, lam_out = pl.pallas_call(
+    vel_out, lam_out, push_out = pl.pallas_call(
         kernel,
         out_shape=[
             jax.ShapeDtypeStruct((g, nb6, SUB, LANE), jnp.float32),
             jax.ShapeDtypeStruct((g, nr_pad, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((g, nb6, SUB, LANE), jnp.float32),
         ],
         grid=(g,),
         in_specs=[
@@ -320,9 +341,15 @@ def solver_sweep_envlast(
                 (1, nr_pad, SUB, LANE), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (1, nb6, SUB, LANE), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_buf, chunk, ROW_F, SUB, LANE), jnp.float32),
+            pltpu.VMEM((n_buf, chunk, ROW_FP, SUB, LANE), jnp.float32),
+            pltpu.VMEM((nb6, SUB, LANE), jnp.float32),  # push velocities
+            pltpu.VMEM((n_push, SUB, LANE), jnp.float32),  # push impulses
             pltpu.SemaphoreType.DMA((n_buf,)),
         ],
         interpret=interpret,
@@ -331,21 +358,26 @@ def solver_sweep_envlast(
     return (
         jnp.transpose(vel_out, (1, 0, 2, 3)).reshape(nb6, b),
         jnp.transpose(lam_out, (1, 0, 2, 3)).reshape(nr_pad, b),
+        jnp.transpose(push_out, (1, 0, 2, 3)).reshape(nb6, b),
     )
 
 
 def _sweep_kernel_envlast(
-    row_hbm,  # [NR_pad, ROW_F, G, SUB, LANE] in ANY/HBM
-    vel_in, lam_in, vel_out, lam_out,  # VMEM tile views [X, SUB, LANE]
-    buf, sem,
+    row_hbm,  # [NR_pad, ROW_FP, G, SUB, LANE] in ANY/HBM
+    vel_in, lam_in, vel_out, lam_out, push_out,  # VMEM tile views [X, SUB, LANE]
+    buf, pv, plam, sem,
     *, meta, n_iters, chunk, n_chunks, n_buf,
 ):
     """Same sweep as :func:`_sweep_kernel`, but the HBM row array carries the
-    grid dim third (env-last host layout) so the chunk DMA slices rows first."""
+    grid dim third (env-last host layout) so the chunk DMA slices rows first,
+    and contact normal rows additionally advance the independent
+    split-impulse position pass (accumulators pv/plam in scratch)."""
     tile = pl.program_id(0)
 
     vel_out[...] = vel_in[...]
     lam_out[...] = lam_in[...]
+    pv[...] = jnp.zeros_like(pv)
+    plam[...] = jnp.zeros_like(plam)
 
     def dma(slot, c):
         return pltpu.make_async_copy(
@@ -365,8 +397,8 @@ def _sweep_kernel_envlast(
                 rid = c * chunk + r
                 if rid >= len(meta):
                     continue
-                ia6, ib6, kind_r, mu_r, parent_r, skip_b_r = meta[rid]
-                rd = buf[slot, r]  # [ROW_F, SUB, LANE]
+                ia6, ib6, kind_r, mu_r, parent_r, skip_b_r, pslot = meta[rid]
+                rd = buf[slot, r]  # [ROW_FP, SUB, LANE]
                 va = vel_out[ia6:ia6 + 6]
                 jv = jnp.sum(rd[_J0:_J0 + 6] * va, axis=0)
                 if not skip_b_r:
@@ -388,9 +420,27 @@ def _sweep_kernel_envlast(
                 vel_out[ia6:ia6 + 6] = va + rd[_DVA:_DVA + 6] * d[None]
                 if not skip_b_r:
                     vel_out[ib6:ib6 + 6] = vb + rd[_DVB:_DVB + 6] * d[None]
+
+                if pslot >= 0:
+                    # split-impulse position pass on the same row data — an
+                    # independent accumulator pair, interleaved for ILP
+                    pva = pv[ia6:ia6 + 6]
+                    jvp = jnp.sum(rd[_J0:_J0 + 6] * pva, axis=0)
+                    if not skip_b_r:
+                        pvb = pv[ib6:ib6 + 6]
+                        jvp = jvp + jnp.sum(rd[_J0 + 6:_J0 + 12] * pvb, axis=0)
+                    pl_r = plam[pslot]
+                    new_pl = jnp.maximum(pl_r + (rd[_RHSP] - jvp) * rd[_IEF], 0.0)
+                    dp = new_pl - pl_r
+                    plam[pslot] = new_pl
+                    pv[ia6:ia6 + 6] = pva + rd[_DVA:_DVA + 6] * dp[None]
+                    if not skip_b_r:
+                        pv[ib6:ib6 + 6] = pvb + rd[_DVB:_DVB + 6] * dp[None]
         return carry
 
     jax.lax.fori_loop(0, n_iters, iter_body, 0)
+
+    push_out[...] = pv[...]
 
     for w in range(n_buf - 1):
         dma(w, w).wait()
