@@ -266,10 +266,13 @@ class _RobotEnvBase:
         quat = physics.quat.at[sk].set(new_quat)
         lin = physics.lin_vel.at[sk].set(0.0)
         ang = physics.ang_vel.at[sk].set(0.0)
+        # the reference reset removes and re-adds bodies AND constraints
+        # (robot_walk.cpp:89-97), so all warm-start caches clear
         return physics._replace(
             pos=pos, quat=quat, lin_vel=lin, ang_vel=ang,
             contact_lambda=jnp.zeros_like(physics.contact_lambda),
             contact_vid=jnp.full_like(physics.contact_vid, -1),
+            joint_lambda=jnp.zeros_like(physics.joint_lambda),
         )
 
     def reset(self, key) -> tuple[RobotEnvState, StepResult]:

@@ -131,6 +131,21 @@ def _plane_space(n):
     return jnp.where(uz, p_z, p_x), jnp.where(uz, q_z, q_x)
 
 
+def _friction_dirs(n, rel_vel, strict):
+    """Env-last mirror of engine._friction_dirs (axis -2 components)."""
+    p1, p2 = _plane_space(n)
+    if not strict:
+        return p1, p2, 1.0
+    lat = rel_vel - n * jnp.sum(rel_vel * n, -2, keepdims=True)
+    lat2 = jnp.sum(lat * lat, -2, keepdims=True)
+    t1 = jnp.where(
+        lat2 > 1.19209290e-07,
+        lat * jax.lax.rsqrt(jnp.maximum(lat2, 1e-30)),
+        p1,
+    )
+    return t1, p2, 0.0
+
+
 def _rot_error_vec(quat_fa_w, quat_fb_w):
     q_err = _qmul(quat_fb_w, _qconj(quat_fa_w))
     sign = jnp.where(q_err[..., 3:4, :] < 0, -1.0, 1.0)
@@ -459,46 +474,69 @@ def detect_contacts(model: PhysicsModel, pos, quat):
     return pt_k, n_k, gap_k, active, vid_k
 
 
-def _member_contact_rows(model: PhysicsModel, pos, quat, iinv_world, dt):
-    """Capsule-capsule member contacts (env-last engine._member_contact_rows).
+def _dyn_narrowphase(model: PhysicsModel, pos, quat):
+    """Deepest-vertex SAT contact per dyn pair (env-last engine._dyn_narrowphase).
 
-    Returns (normal [NDP, 28, B], friction [NDP*2, 28, B], push [NDP, 28, B])."""
+    Returns (point [NDP, 3, B], normal [NDP, 3, B] from B toward A, gap [NDP, B])."""
+    dp = model.dyn_pair_body
+    ia, ib = dp[:, 0], dp[:, 1]
+    hull = jnp.asarray(model.np_hull)
+    hmask = model.np_hull_mask  # static numpy
+    face = model.np_face  # static numpy
+    nv = hull.shape[1]
+    nf = face.shape[1]
+    iota_v = jnp.arange(nv)[None, :, None]
+    iota_f = jnp.arange(nf)[None, :, None]
+
+    def verts_world(idx):
+        return pos[idx][:, None] + _qrot(quat[idx][:, None], hull[idx][..., None])
+
+    def planes_world(idx):
+        n_w = _qrot(quat[idx][:, None], jnp.asarray(face[idx][..., :3])[..., None])
+        d_w = jnp.asarray(face[idx][..., 3])[..., None] - jnp.sum(
+            n_w * pos[idx][:, None], -2
+        )
+        return n_w, d_w  # [NDP, F, 3, B], [NDP, F, B]
+
+    va, vb = verts_world(ia), verts_world(ib)
+
+    def deepest(verts, vmask, n_w, d_w):
+        d = jnp.einsum("pvin,pfin->pvfn", verts, n_w) + d_w[:, None]
+        dist = jnp.max(d, axis=2)  # [NDP, V, B]
+        f_id = jnp.argmax(d, axis=2)
+        dist = jnp.where(jnp.asarray(vmask)[:, :, None] > 0, dist, 1e9)
+        v_id = jnp.argmin(dist, axis=1)  # [NDP, B]
+        gap = jnp.min(dist, axis=1)
+        ohv = (iota_v == v_id[:, None]).astype(jnp.float32)
+        pt = jnp.einsum("pvn,pvin->pin", ohv, verts)
+        f_sel = jnp.sum(ohv * f_id.astype(jnp.float32), axis=1).astype(jnp.int32)
+        ohf = (iota_f == f_sel[:, None]).astype(jnp.float32)
+        nrm = jnp.einsum("pfn,pfin->pin", ohf, n_w)
+        return pt, nrm, gap
+
+    na_w, da_w = planes_world(ia)
+    nb_w, db_w = planes_world(ib)
+    pt1, nrm1, gap1 = deepest(vb, hmask[ib], na_w, da_w)
+    pt2, nrm2, gap2 = deepest(va, hmask[ia], nb_w, db_w)
+
+    use1 = (gap1 <= gap2)[:, None]
+    point = jnp.where(use1, pt1, pt2)
+    # contact normal points from B toward A (see engine._dyn_narrowphase)
+    n = jnp.where(use1, -nrm1, nrm2)
+    marg = model.margin[ia] + model.margin[ib]  # static numpy
+    gap = jnp.minimum(gap1, gap2) - jnp.asarray(marg)[:, None]
+    return point, n, gap
+
+
+def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel, iinv_world, dt):
+    """Member-member contacts (env-last engine._member_contact_rows).
+
+    Returns (normal [NDP, ROW_FP, B], friction [NDP*2, ROW_FP, B]): one SAT
+    contact per pair with the split-impulse rhs in the normal rows."""
     dp = model.dyn_pair_body
     b = pos.shape[-1]
     ia, ib = dp[:, 0], dp[:, 1]
-    ax_a = _qrot(quat[ia], jnp.asarray(model.capsule_axis[ia])[..., None])
-    ax_b = _qrot(quat[ib], jnp.asarray(model.capsule_axis[ib])[..., None])
-    hl_a = jnp.asarray(model.capsule_half_len[ia])[:, None, None]  # [NDP,1,1]
-    hl_b = jnp.asarray(model.capsule_half_len[ib])[:, None, None]
-    r_a = jnp.asarray(model.capsule_radius[ia])[:, None]  # [NDP,1]
-    r_b = jnp.asarray(model.capsule_radius[ib])[:, None]
-
-    pa0 = pos[ia] - ax_a * hl_a
-    d1 = 2.0 * ax_a * hl_a
-    pb0 = pos[ib] - ax_b * hl_b
-    d2 = 2.0 * ax_b * hl_b
-
-    rvec = pa0 - pb0
-    a = _dot(d1, d1)
-    e = _dot(d2, d2)
-    f = _dot(d2, rvec)
-    c = _dot(d1, rvec)
-    bb = _dot(d1, d2)
-    denom = a * e - bb * bb
-    s = jnp.where(
-        denom > 1e-12, jnp.clip((bb * f - c * e) / jnp.maximum(denom, 1e-12), 0, 1), 0.0
-    )
-    t = jnp.where(e > 1e-12, (bb * s + f) / jnp.maximum(e, 1e-12), 0.0)
-    t = jnp.clip(t, 0.0, 1.0)
-    s = jnp.where(a > 1e-12, jnp.clip((bb * t - c) / jnp.maximum(a, 1e-12), 0, 1), 0.0)
-    c_a = pa0 + d1 * s[:, None]
-    c_b = pb0 + d2 * t[:, None]
-
-    delta = c_a - c_b
-    dist = jnp.sqrt(jnp.sum(delta * delta, -2))
-    n = delta / jnp.maximum(dist, 1e-9)[:, None]
-    gap = dist - r_a - r_b
-    point = c_a - n * r_a[:, None]
+    point, n, gap = _dyn_narrowphase(model, pos, quat)
     act = (gap < E.CONTACT_BREAKING).astype(jnp.float32)
 
     rel_a = point - pos[ia]
@@ -533,11 +571,16 @@ def _member_contact_rows(model: PhysicsModel, pos, quat, iinv_world, dt):
     inf_ = jnp.full((ndp, b), jnp.inf)
     normal_rows = _pack(jn_m, dva_n, dvb_n, rhs_n, zeros, inf_, ie_n * act, rhs_push)
 
-    t1, t2 = _plane_space(n)
+    rel_vel = (
+        lin_vel[ia] + _cross(ang_vel[ia], rel_a)
+        - lin_vel[ib] - _cross(ang_vel[ib], rel_b)
+    )
+    t1, t2, t2_en = _friction_dirs(n, rel_vel, model.strict_bullet)
     fr = []
-    for d in (t1, t2):
+    for ti, d in enumerate((t1, t2)):
         jt, dva_t, dvb_t, ie_t = rows_for(d)
-        fr.append(_pack(jt, dva_t, dvb_t, zeros, zeros, zeros, ie_t * act))
+        en = 1.0 if ti == 0 else t2_en
+        fr.append(_pack(jt, dva_t, dvb_t, zeros, zeros, zeros, ie_t * act * en))
     friction_rows = jnp.stack(fr, axis=1).reshape(ndp * 2, -1, b)
     return normal_rows, friction_rows
 
@@ -553,7 +596,8 @@ def _round_rows(nr: int, chunk: int, n_buf: int = 4) -> int:
 
 
 def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
-                 contact_lambda, contact_vid, motor_target, motor_enabled):
+                 contact_lambda, contact_vid, joint_lambda, motor_target,
+                 motor_enabled):
     """One substep for B envs, env axis last everywhere.
 
     pos [NB,3,B], quat [NB,4,B], vels [NB,3,B], contact_lambda [NP,K,3,B],
@@ -596,13 +640,34 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
 
     vel6 = jnp.concatenate([lin_vel, ang_vel], axis=1)  # [NB, 6, B]
 
+    # joint warm starting (strict mode; mirrors engine._physics_step_impl)
+    if model.strict_bullet and nrj:
+        jl0 = joint_lambda * E.WARMSTART  # [NRJ, B]
+        ja_np, jb_np = E._static_row_bodies(model)
+        oh_ja = np.zeros((nrj, model.n_bodies), np.float32)
+        oh_jb = np.zeros((nrj, model.n_bodies), np.float32)
+        oh_ja[np.arange(nrj), ja_np] = 1.0
+        oh_jb[np.arange(nrj), jb_np] = 1.0
+        # joint_packed holds dv_a at cols 12:18 and dv_b at 18:24
+        dva = joint_packed[:, 12:18] * jl0[:, None]
+        dvb = joint_packed[:, 18:24] * jl0[:, None]
+        vel6 = vel6 + (
+            jnp.einsum("rb,rin->bin", jnp.asarray(oh_ja), dva)
+            + jnp.einsum("rb,rin->bin", jnp.asarray(oh_jb), dvb)
+        ).reshape(model.n_bodies, 6, b)
+    else:
+        jl0 = jnp.zeros((nrj, b))
+
     pair = model.pair_body
     static_sel = model.inv_mass[pair[:, 1]] == 0.0
     body_np = pair[np.asarray(static_sel)][:, 0]
 
     if n_pair:
         r_a = pt_k - pos[body_np][:, None]
-        t1, t2 = _plane_space(n_k)
+        rel_vel = lin_vel[body_np][:, None] + _cross(
+            ang_vel[body_np][:, None], r_a
+        )  # body B is static
+        t1, t2, t2_en = _friction_dirs(n_k, rel_vel, model.strict_bullet)
         actf = active.astype(jnp.float32)
 
         inv_m = jnp.asarray(model.inv_mass[body_np])[:, None, None, None]  # [NP,1,1,1]
@@ -622,6 +687,7 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
         jn, dv_n, ie_n = contact_rows(n_k)
         jt1, dv_t1, ie_t1 = contact_rows(t1)
         jt2, dv_t2, ie_t2 = contact_rows(t2)
+        ie_t2 = ie_t2 * t2_en
         rhs_n = jnp.where(gap_k > 0, -gap_k / dt, 0.0)
         rhs_push = jnp.where(gap_k < 0, -gap_k * E.ERP2 / dt, 0.0)
         zeros_pk = jnp.zeros((n_pair, k, b))
@@ -655,7 +721,7 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
 
     if n_dyn:
         member_normal, member_friction = _member_contact_rows(
-            model, pos, quat, iinv_world, dt
+            model, pos, quat, lin_vel, ang_vel, iinv_world, dt
         )
     else:
         member_normal = jnp.zeros((0, sp.ROW_FP, b))
@@ -688,7 +754,7 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
     all_rows = jnp.concatenate(parts, 0)
     lam0 = jnp.concatenate(
         [
-            jnp.zeros((nrj, b)),
+            jl0,
             lam_n0.reshape(n_pair * k, b),
             jnp.zeros((n_dyn, b)),
             lam_t0.reshape(n_pair * k * 2, b),
@@ -749,7 +815,7 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
         new_vid = contact_vid
 
     return (
-        new_pos, new_quat, lin_out, ang_out, new_cl, new_vid,
+        new_pos, new_quat, lin_out, ang_out, new_cl, new_vid, lam,
         (slider_lin_pos, slider_imp, p2p_imp, floor_contact),
     )
 
@@ -791,9 +857,10 @@ def vmapped_step(model: PhysicsModel, dt: float, axis_size: int, in_batched,
         to_last(state.pos), to_last(state.quat),
         to_last(state.lin_vel), to_last(state.ang_vel),
         to_last(state.contact_lambda), to_last(state.contact_vid),
+        to_last(state.joint_lambda),
         to_last(motor_target), to_last(motor_enabled),
     )
-    pos, quat, lin, ang, cl, vid, diag = out
+    pos, quat, lin, ang, cl, vid, jlam, diag = out
 
     def to_first(x):
         return jnp.moveaxis(x[..., :b], -1, 0)
@@ -801,7 +868,7 @@ def vmapped_step(model: PhysicsModel, dt: float, axis_size: int, in_batched,
     new_state = PhysicsState(
         pos=to_first(pos), quat=to_first(quat), lin_vel=to_first(lin),
         ang_vel=to_first(ang), contact_lambda=to_first(cl),
-        contact_vid=to_first(vid),
+        contact_vid=to_first(vid), joint_lambda=to_first(jlam),
     )
     diag_out = StepDiagnostics(
         slider_lin_pos=to_first(diag[0]),

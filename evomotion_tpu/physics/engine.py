@@ -22,20 +22,31 @@ Solver math follows the published sequential-impulse formulation Bullet uses
 motor force clamps, limit rows) — independently implemented for batched,
 statically shaped execution; formula provenance is cited per row builder.
 
-Known divergences from Bullet (documented, behavior-level):
+Known divergences from Bullet in the DEFAULT configuration — all three are
+removed by ``model.strict_bullet = True`` (the parity configuration):
 - friction uses two fixed tangent directions (btPlaneSpace1 of the contact
   normal) instead of the single slip-velocity-aligned direction of the default
-  solver mode: batch-friendly and gives stronger static friction;
-- hull manifolds are generated vertex-vs-face for body/static pairs;
-  member-member (dyn-dyn) contacts use a capsule approximation (one contact
-  per pair, solver="pallas" path) — spider locomotion is dominated by the
-  foot-floor hull contacts;
+  solver mode (strict mode switches to the Bullet behavior): batch-friendly
+  and gives stronger static friction;
+- joint rows are not warm-started (Bullet warm-starts every
+  btSolverConstraint at cached_impulse x 0.85; strict mode does too via
+  PhysicsState.joint_lambda);
+- hull manifolds are generated vertex-vs-face for body/static pairs (deepest
+  4 per pair); member-member (dyn-dyn) contacts run a SAT vertex/edge-point
+  vs-hull-face narrowphase on decimated proxy hulls with ONE contact per pair
+  (deepest penetrating surface point of either body in the other), on BOTH
+  backends — the reference runs Bullet GJK/EPA manifolds on the full hulls;
 - limit-row correction velocity is capped at LIMIT_BIAS_CAP (Bullet leaves
-  it uncapped): prevents chatter where limit sectors are over-constrained
-  against muscle anchors (see the constant's comment);
+  it uncapped; strict mode removes the cap): prevents chatter where limit
+  sectors are over-constrained against muscle anchors (see the constant's
+  comment).
+
+Structural notes (not removed by strict mode):
 - the "xla" solver backend relaxes row ordering within a color phase (any
   valid Gauss-Seidel order); the "pallas" backend keeps Bullet's strict
-  sequential order.
+  sequential order — pallas is the parity backend;
+- member-member manifolds are one SAT contact per pair on decimated proxy
+  hulls vs Bullet's GJK/EPA manifolds (see _dyn_narrowphase).
 """
 
 from __future__ import annotations
@@ -75,6 +86,9 @@ class PhysicsState(NamedTuple):
     # persistent-manifold warm-start cache (reference: Bullet manifold points)
     contact_lambda: jnp.ndarray  # [NPAIR, K, 3] (normal, t1, t2)
     contact_vid: jnp.ndarray  # [NPAIR, K] hull-vertex id, -1 = empty
+    # joint-row impulse cache: consumed for warm starting when
+    # model.strict_bullet (Bullet warm-starts every solver constraint)
+    joint_lambda: jnp.ndarray  # [NRJ]
 
 
 class StepDiagnostics(NamedTuple):
@@ -116,6 +130,7 @@ def init_state(model: PhysicsModel) -> PhysicsState:
         ang_vel=jnp.zeros((model.n_bodies, 3)),
         contact_lambda=jnp.zeros((npair, k, 3)),
         contact_vid=jnp.full((npair, k), -1, dtype=jnp.int32),
+        joint_lambda=jnp.zeros((model.n_rows,)),
     )
 
 
@@ -135,6 +150,29 @@ def _plane_space(n: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         jnp.where(use_z[..., None], p_z, p_x),
         jnp.where(use_z[..., None], q_z, q_x),
     )
+
+
+def _friction_dirs(n, rel_vel, strict):
+    """Friction row directions at a contact point.
+
+    Default mode: two fixed tangents (btPlaneSpace1 of the normal) — stronger
+    static friction, documented divergence. Strict mode: Bullet's default
+    solver behavior (setupFrictionConstraint): ONE direction aligned with the
+    lateral relative velocity when non-negligible (> SIMD_EPSILON), else
+    plane-space dir 1; the second tangent row is disabled via a zero
+    effective-mass factor (returned third). Shapes are unchanged either way
+    so solver metadata and warm-start caches stay static."""
+    p1, p2 = _plane_space(n)
+    if not strict:
+        return p1, p2, 1.0
+    lat = rel_vel - n * jnp.sum(rel_vel * n, -1, keepdims=True)
+    lat2 = jnp.sum(lat * lat, -1, keepdims=True)
+    t1 = jnp.where(
+        lat2 > 1.19209290e-07,
+        lat * jax.lax.rsqrt(jnp.maximum(lat2, 1e-30)),
+        p1,
+    )
+    return t1, p2, 0.0
 
 
 class _Rows(NamedTuple):
@@ -238,6 +276,9 @@ def build_joint_rows(
     erp_dt = ERP / dt
     parts_ja, parts_jb, parts_j, parts_rhs, parts_lo, parts_hi = [], [], [], [], [], []
     inf = jnp.inf
+    # Bullet leaves limit-correction velocity uncapped; the default mode caps
+    # it (see LIMIT_BIAS_CAP) — strict mode removes the divergence
+    bias_cap = jnp.inf if model.strict_bullet else LIMIT_BIAS_CAP
 
     def emit(idx_a, idx_b, j, rhs, lo, hi):
         """Emit one KIND's rows, [n_blocks, rows_per_block, ...]: flattening
@@ -311,7 +352,7 @@ def build_joint_rows(
         above = angle > hi_l
         j_lim = _ang_rows(ax_a[:, None])[:, 0]
         corr = jnp.where(below, lo_l - angle, jnp.where(above, hi_l - angle, 0.0))
-        rhs_lim = jnp.clip(HINGE_LIMIT_BIAS / dt * corr, -LIMIT_BIAS_CAP, LIMIT_BIAS_CAP)
+        rhs_lim = jnp.clip(HINGE_LIMIT_BIAS / dt * corr, -bias_cap, bias_cap)
         lo_b = jnp.where(has_limit & below, 0.0, jnp.where(has_limit & above, -inf, 0.0))
         hi_b = jnp.where(has_limit & below, inf, 0.0)
 
@@ -400,7 +441,7 @@ def build_joint_rows(
         corr = jnp.where(
             locked, lo_l - lin_pos, jnp.where(below, lo_l - lin_pos, jnp.where(above, hi_l - lin_pos, 0.0))
         )
-        rhs_lim = jnp.clip(erp_dt * corr, -LIMIT_BIAS_CAP, LIMIT_BIAS_CAP)
+        rhs_lim = jnp.clip(erp_dt * corr, -bias_cap, bias_cap)
         lo_b = jnp.where(
             has_lim,
             jnp.where(locked, -inf, jnp.where(below, 0.0, jnp.where(above, -inf, 0.0))),
@@ -660,53 +701,74 @@ def _static_row_bodies(model: PhysicsModel) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _n_dyn_pairs(model: PhysicsModel) -> int:
-    """Member-member pairs participating in (pallas-path) capsule contacts."""
-    if not model.member_contacts or model.solver != "pallas":
+    """Member-member pairs participating in dyn-dyn contacts (both backends)."""
+    if not model.member_contacts:
         return 0
     return len(model.dyn_pair_body)
 
 
-def _member_contact_rows(model: PhysicsModel, pos, quat, iinv_world, dt):
-    """Capsule-capsule member contacts -> packed solver rows.
+def _dyn_narrowphase(model: PhysicsModel, pos, quat):
+    """Deepest-vertex SAT contact per dyn pair (proxy hulls, K=1).
 
-    Returns (normal_rows [NDP, 28], friction_rows [NDP*2, 28],
-    push_rows [NDP, 28]). Closest-point-between-segments narrowphase; one
-    contact per pair (adequate for the shallow, transient member-member
-    touches; floor contacts keep the 4-point hull manifolds)."""
+    Tests each pair both ways — B's proxy verts against A's faces and A's
+    against B's — and keeps the deeper of the two deepest vertices. Returns
+    (point [NDP, 3], normal [NDP, 3] pointing from B toward A, gap [NDP]).
+    The reference runs Bullet's convex-convex narrowphase on the full hulls
+    (item.cpp:17-52); see model.PhysicsModel.np_hull for the proxy rationale."""
     dp = model.dyn_pair_body
     ia, ib = dp[:, 0], dp[:, 1]
-    ax_a = maths.quat_rotate(quat[ia], model_arr(model.capsule_axis)[ia])
-    ax_b = maths.quat_rotate(quat[ib], model_arr(model.capsule_axis)[ib])
-    hl_a = model_arr(model.capsule_half_len)[ia][:, None]
-    hl_b = model_arr(model.capsule_half_len)[ib][:, None]
-    r_a = model_arr(model.capsule_radius)[ia]
-    r_b = model_arr(model.capsule_radius)[ib]
+    hull = model_arr(model.np_hull)
+    hmask = model.np_hull_mask  # static numpy
+    face = model_arr(model.np_face)
+    marg = model_arr(model.margin)
 
-    pa0 = pos[ia] - ax_a * hl_a
-    d1 = 2.0 * ax_a * hl_a
-    pb0 = pos[ib] - ax_b * hl_b
-    d2 = 2.0 * ax_b * hl_b
+    def verts_world(idx):
+        return pos[idx][:, None] + maths.quat_rotate(quat[idx][:, None], hull[idx])
 
-    # closest points between segments (Ericson, Real-Time Collision Detection)
-    rvec = pa0 - pb0
-    a = jnp.sum(d1 * d1, -1)
-    e = jnp.sum(d2 * d2, -1)
-    f = jnp.sum(d2 * rvec, -1)
-    c = jnp.sum(d1 * rvec, -1)
-    bb = jnp.sum(d1 * d2, -1)
-    denom = a * e - bb * bb
-    s = jnp.where(denom > 1e-12, jnp.clip((bb * f - c * e) / jnp.maximum(denom, 1e-12), 0, 1), 0.0)
-    t = jnp.where(e > 1e-12, (bb * s + f) / jnp.maximum(e, 1e-12), 0.0)
-    t = jnp.clip(t, 0.0, 1.0)
-    s = jnp.where(a > 1e-12, jnp.clip((bb * t - c) / jnp.maximum(a, 1e-12), 0, 1), 0.0)
-    c_a = pa0 + d1 * s[:, None]
-    c_b = pb0 + d2 * t[:, None]
+    def planes_world(idx):
+        n_w = maths.quat_rotate(quat[idx][:, None], face[idx][..., :3])
+        d_w = face[idx][..., 3] - jnp.sum(n_w * pos[idx][:, None], -1)
+        return n_w, d_w
 
-    delta = c_a - c_b
-    dist = jnp.linalg.norm(delta, axis=-1)
-    n = delta / jnp.maximum(dist, 1e-9)[:, None]
-    gap = dist - r_a - r_b
-    point = c_a - n * r_a[:, None]
+    va, vb = verts_world(ia), verts_world(ib)
+
+    def deepest(verts, vmask, n_w, d_w):
+        # signed distance of each vertex to the hull surface: max over faces
+        d = jnp.einsum("pvk,pfk->pvf", verts, n_w) + d_w[:, None, :]
+        dist = jnp.max(d, -1)  # [NDP, V]
+        f_id = jnp.argmax(d, -1)
+        dist = jnp.where(jnp.asarray(vmask) > 0, dist, 1e9)
+        v_id = jnp.argmin(dist, -1)  # deepest vertex
+        gap = jnp.min(dist, -1)
+        pt = jnp.take_along_axis(verts, v_id[:, None, None], 1)[:, 0]
+        f_sel = jnp.take_along_axis(f_id, v_id[:, None], 1)[:, 0]
+        nrm = jnp.take_along_axis(n_w, f_sel[:, None, None], 1)[:, 0]
+        return pt, nrm, gap
+
+    na_w, da_w = planes_world(ia)
+    nb_w, db_w = planes_world(ib)
+    pt1, nrm1, gap1 = deepest(vb, hmask[ib], na_w, da_w)  # B's verts in A
+    pt2, nrm2, gap2 = deepest(va, hmask[ia], nb_w, db_w)  # A's verts in B
+
+    use1 = (gap1 <= gap2)[:, None]
+    point = jnp.where(use1, pt1, pt2)
+    # contact normal points from B toward A: A's face normal points out of A
+    # (toward B's vertex) -> negate; B's face normal points toward A -> keep
+    n = jnp.where(use1, -nrm1, nrm2)
+    gap = jnp.minimum(gap1, gap2) - marg[ia] - marg[ib]
+    return point, n, gap
+
+
+def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel, iinv_world, dt):
+    """Member-member contacts -> packed solver rows (SAT narrowphase).
+
+    Returns (normal_rows [NDP, 28], friction_rows [NDP*2, 28],
+    push_rows [NDP, 28]). One contact per pair — the deepest penetrating
+    proxy-hull vertex of either body in the other; floor contacts keep the
+    4-point full-hull manifolds."""
+    dp = model.dyn_pair_body
+    ia, ib = dp[:, 0], dp[:, 1]
+    point, n, gap = _dyn_narrowphase(model, pos, quat)
     act = (gap < CONTACT_BREAKING).astype(jnp.float32)
 
     rel_a = point - pos[ia]
@@ -742,11 +804,16 @@ def _member_contact_rows(model: PhysicsModel, pos, quat, iinv_world, dt):
     rhs_push = jnp.where(gap < 0, -gap * ERP2 / dt, 0.0)
     push_rows = _pack_rows(jn_m, dva_n, dvb_n, rhs_push, zeros, inf_, ie_n * act)
 
-    t1, t2 = _plane_space(n)
+    rel_vel = (
+        lin_vel[ia] + jnp.cross(ang_vel[ia], rel_a)
+        - lin_vel[ib] - jnp.cross(ang_vel[ib], rel_b)
+    )
+    t1, t2, t2_en = _friction_dirs(n, rel_vel, model.strict_bullet)
     fr = []
-    for d in (t1, t2):
+    for ti, d in enumerate((t1, t2)):
         jt, dva_t, dvb_t, ie_t = rows_for(d)
-        fr.append(_pack_rows(jt, dva_t, dvb_t, zeros, zeros, zeros, ie_t * act))
+        en = 1.0 if ti == 0 else t2_en
+        fr.append(_pack_rows(jt, dva_t, dvb_t, zeros, zeros, zeros, ie_t * act * en))
     # interleave (pair, dir): [NDP, 2, 28]
     friction_rows = jnp.stack(fr, axis=1).reshape(ndp * 2, -1)
     return normal_rows, friction_rows, push_rows
@@ -992,10 +1059,33 @@ def _physics_step_impl(
     k = MAX_CONTACTS_PER_PAIR
     vel6 = jnp.concatenate([lin_vel, ang_vel], axis=-1)  # [NB, 6]
 
+    # joint warm starting (strict mode): Bullet seeds every solver constraint
+    # from its cached impulse x m_warmstartingFactor and applies the impulse
+    # to the body velocities during setup
+    if model.strict_bullet and model.n_rows:
+        jl0 = state.joint_lambda * WARMSTART
+        ja_np, jb_np = _static_row_bodies(model)
+        oh_ja = np.zeros((model.n_rows, model.n_bodies), np.float32)
+        oh_jb = np.zeros((model.n_rows, model.n_bodies), np.float32)
+        oh_ja[np.arange(model.n_rows), ja_np] = 1.0
+        oh_jb[np.arange(model.n_rows), jb_np] = 1.0
+        da6 = jnp.concatenate(
+            [rows.dv_a[:, 0] * jl0[:, None], rows.dv_a[:, 1] * jl0[:, None]], -1
+        )
+        db6 = jnp.concatenate(
+            [rows.dv_b[:, 0] * jl0[:, None], rows.dv_b[:, 1] * jl0[:, None]], -1
+        )
+        vel6 = vel6 + jnp.asarray(oh_ja).T @ da6 + jnp.asarray(oh_jb).T @ db6
+    else:
+        jl0 = jnp.zeros((model.n_rows,))
+
     if n_pair:
         r_a = contacts.point - state.pos[contacts.body][:, None, :]
         n = contacts.normal
-        t1, t2 = _plane_space(n)
+        rel_vel = lin_vel[contacts.body][:, None] + jnp.cross(
+            ang_vel[contacts.body][:, None], r_a
+        )  # body B is static
+        t1, t2, t2_en = _friction_dirs(n, rel_vel, model.strict_bullet)
         act = contacts.active.astype(jnp.float32)
 
         def contact_j(d):
@@ -1019,6 +1109,7 @@ def _physics_step_impl(
         dvn_lin, dvn_ang, inv_eff_n = eff(jn)
         dvt1_lin, dvt1_ang, inv_eff_t1 = eff(jt1)
         dvt2_lin, dvt2_ang, inv_eff_t2 = eff(jt2)
+        inv_eff_t2 = inv_eff_t2 * t2_en
 
         # velocity-pass rhs (btSequentialImpulseConstraintSolver::
         # setupContactConstraint with split impulse on): separated contacts may
@@ -1057,7 +1148,7 @@ def _physics_step_impl(
             n_dyn = _n_dyn_pairs(model)
             if n_dyn:
                 member_normal, member_friction, member_push = _member_contact_rows(
-                    model, state.pos, state.quat, iinv_world, dt
+                    model, state.pos, state.quat, lin_vel, ang_vel, iinv_world, dt
                 )
                 push_rows = jnp.concatenate([push_rows, member_push], 0)
             solve_push = _get_pallas_solver(model, "push", n_pair, n_dyn)
@@ -1103,6 +1194,125 @@ def _physics_step_impl(
         lam_n0 = jnp.zeros((0, k))
         lam_t0 = jnp.zeros((0, k, 2))
 
+    # member-member (dyn-dyn) contacts on the XLA backend: SAT narrowphase +
+    # statically colored Gauss-Seidel phases (pairs in one color touch
+    # disjoint bodies, so a vectorized update is a valid GS step). The pallas
+    # backend handles these rows inside the fused sweep instead.
+    n_dyn_x = 0 if model.solver == "pallas" else _n_dyn_pairs(model)
+    if n_dyn_x:
+        dp_np = model.dyn_pair_body
+        d_ia, d_ib = dp_np[:, 0], dp_np[:, 1]
+        dpoint, dnorm, dgap = _dyn_narrowphase(model, state.pos, state.quat)
+        dact = (dgap < CONTACT_BREAKING).astype(jnp.float32)
+        drel_a = dpoint - state.pos[d_ia]
+        drel_b = dpoint - state.pos[d_ib]
+        inv_m_da = model_arr(model.inv_mass)[d_ia][:, None]
+        inv_m_db = model_arr(model.inv_mass)[d_ib][:, None]
+        ii_da = iinv_world[d_ia]
+        ii_db = iinv_world[d_ib]
+
+        def d_rows(d):
+            ja_ang = jnp.cross(drel_a, d)
+            jb_ang = -jnp.cross(drel_b, d)
+            dva = jnp.stack(
+                [inv_m_da * d, jnp.einsum("pij,pj->pi", ii_da, ja_ang)], axis=-2
+            )
+            dvb = jnp.stack(
+                [-inv_m_db * d, jnp.einsum("pij,pj->pi", ii_db, jb_ang)], axis=-2
+            )
+            eff = (
+                jnp.sum(d * dva[:, 0], -1) + jnp.sum(ja_ang * dva[:, 1], -1)
+                + jnp.sum(-d * dvb[:, 0], -1) + jnp.sum(jb_ang * dvb[:, 1], -1)
+            )
+            ie = jnp.where(eff > 1e-12, 1.0 / jnp.maximum(eff, 1e-12), 0.0)
+            j = jnp.stack([d, ja_ang, -d, jb_ang], axis=-2)
+            return j, dva, dvb, ie
+
+        dn_j, dn_dva, dn_dvb, dn_ie = d_rows(dnorm)
+        d_rel_vel = (
+            lin_vel[d_ia] + jnp.cross(ang_vel[d_ia], drel_a)
+            - lin_vel[d_ib] - jnp.cross(ang_vel[d_ib], drel_b)
+        )
+        dt1, dt2, d_t2_en = _friction_dirs(dnorm, d_rel_vel, model.strict_bullet)
+        dt1_j, dt1_dva, dt1_dvb, dt1_ie = d_rows(dt1)
+        dt2_j, dt2_dva, dt2_dvb, dt2_ie = d_rows(dt2)
+        dt2_ie = dt2_ie * d_t2_en
+        rhs_dn = jnp.where(dgap > 0, -dgap / dt, 0.0)
+        rhs_dpush = jnp.where(dgap < 0, -dgap * ERP2 / dt, 0.0)
+        fric_d = jnp.asarray(
+            np.clip(model.friction[d_ia] * model.friction[d_ib], 0, 10)
+        )
+        d_colors = [np.asarray(c) for c in model.dyn_pair_color]
+        oh_d = []
+        for c in d_colors:
+            oa = np.zeros((len(c), model.n_bodies), np.float32)
+            ob = np.zeros((len(c), model.n_bodies), np.float32)
+            oa[np.arange(len(c)), d_ia[c]] = 1.0
+            ob[np.arange(len(c)), d_ib[c]] = 1.0
+            oh_d.append((jnp.asarray(oa), jnp.asarray(ob)))
+
+        def member_solve_color(v6, lam, c_idx, j, dva, dvb, ie, rhs, lo_fn):
+            """One colored GS step for rows of one direction; returns
+            (v6, lam) with lam only updated at c_idx."""
+            ci = d_colors[c_idx]
+            oa, ob = oh_d[c_idx]
+            va = oa @ v6
+            vb = ob @ v6
+            jc, dvac, dvbc = j[ci], dva[ci], dvb[ci]
+            jv = (
+                jnp.sum(jc[:, 0] * va[:, :3], -1) + jnp.sum(jc[:, 1] * va[:, 3:], -1)
+                + jnp.sum(jc[:, 2] * vb[:, :3], -1) + jnp.sum(jc[:, 3] * vb[:, 3:], -1)
+            )
+            delta = (rhs[ci] - jv) * ie[ci] * dact[ci]
+            new_l = lo_fn(lam[ci] + delta, ci)
+            dl = new_l - lam[ci]
+            lam = lam.at[ci].set(new_l)
+            v6 = v6 + oa.T @ jnp.concatenate(
+                [dvac[:, 0] * dl[:, None], dvac[:, 1] * dl[:, None]], -1
+            ) + ob.T @ jnp.concatenate(
+                [dvbc[:, 0] * dl[:, None], dvbc[:, 1] * dl[:, None]], -1
+            )
+            return v6, lam
+
+        def member_push_pass(p6, lam_dp):
+            for c_idx in range(len(d_colors)):
+                p6, lam_dp = member_solve_color(
+                    p6, lam_dp, c_idx, dn_j, dn_dva, dn_dvb, dn_ie, rhs_dpush,
+                    lambda x, ci: jnp.maximum(x, 0.0),
+                )
+            return p6, lam_dp
+
+        def member_vel_pass(v6, lam_dn, lam_dt):
+            for c_idx in range(len(d_colors)):
+                v6, lam_dn = member_solve_color(
+                    v6, lam_dn, c_idx, dn_j, dn_dva, dn_dvb, dn_ie, rhs_dn,
+                    lambda x, ci: jnp.maximum(x, 0.0),
+                )
+            zero_rhs = jnp.zeros_like(rhs_dn)
+            for ti, (j, dva, dvb, ie) in enumerate(
+                ((dt1_j, dt1_dva, dt1_dvb, dt1_ie), (dt2_j, dt2_dva, dt2_dvb, dt2_ie))
+            ):
+                for c_idx in range(len(d_colors)):
+                    lam_ti = lam_dt[:, ti]
+                    v6, lam_ti = member_solve_color(
+                        v6, lam_ti, c_idx, j, dva, dvb, ie, zero_rhs,
+                        lambda x, ci: jnp.clip(
+                            x, -fric_d[ci] * lam_dn[ci], fric_d[ci] * lam_dn[ci]
+                        ),
+                    )
+                    lam_dt = lam_dt.at[:, ti].set(lam_ti)
+            return v6, lam_dn, lam_dt
+
+        # member split-impulse pass (after the floor pass; the two row sets
+        # share bodies, so this is sequential block GS — the xla backend's
+        # documented ordering relaxation)
+        def d_push_iter(_, carry):
+            return member_push_pass(*carry)
+
+        push6, _ = jax.lax.fori_loop(
+            0, model.n_iterations, d_push_iter, (push6, jnp.zeros((n_dyn_x,)))
+        )
+
     # 5. velocity iterations.
     if model.solver == "pallas":
         # fused sequential sweep: joints + contact rows in exact Bullet order
@@ -1131,19 +1341,19 @@ def _physics_step_impl(
                      friction_packed, member_friction], 0
                 )
                 lam0_all = jnp.concatenate(
-                    [jnp.zeros((n_rows,)), lam_n0.reshape(-1), jnp.zeros((n_dyn,)),
+                    [jl0, lam_n0.reshape(-1), jnp.zeros((n_dyn,)),
                      lam_t0.reshape(n_pair * k * 2), jnp.zeros((n_dyn * 2,))]
                 )
             else:
                 all_rows = jnp.concatenate([joint_packed, normal_packed, friction_packed], 0)
                 lam0_all = jnp.concatenate(
-                    [jnp.zeros((n_rows,)), lam_n0.reshape(-1),
+                    [jl0, lam_n0.reshape(-1),
                      lam_t0.reshape(n_pair * k * 2)]
                 )
         else:
             n_dyn = 0
             all_rows = joint_packed
-            lam0_all = jnp.zeros((n_rows,))
+            lam0_all = jl0
 
         solve = _get_pallas_solver(model, "full", n_pair, n_dyn)
         vel_mat, lam_all = solve(all_rows, vel6.reshape(model.n_bodies, 6), lam0_all)
@@ -1230,7 +1440,7 @@ def _physics_step_impl(
             return vel6, lam
 
     def vel_iter(_, carry):
-        vel6, lam, lam_n, lam_t = carry
+        vel6, lam, lam_n, lam_t, lam_dn, lam_dt = carry
         if n_phases:  # static: models without joints skip the phase loop
             vel6, lam = jax.lax.fori_loop(0, n_phases, _solve_phase, (vel6, lam))
 
@@ -1257,11 +1467,18 @@ def _physics_step_impl(
                     d = new_l - lam_t[:, kk, ti]
                     lam_t = lam_t.at[:, kk, ti].set(new_l)
                     vel6 = vel6 + c_scatter(dvl[:, kk], dva[:, kk], d)
-        return vel6, lam, lam_n, lam_t
+        if n_dyn_x:
+            vel6, lam_dn, lam_dt = member_vel_pass(vel6, lam_dn, lam_dt)
+        return vel6, lam, lam_n, lam_t, lam_dn, lam_dt
 
     lam_pm0 = jnp.zeros((max(n_phases, 1), int(model.phase_table.shape[1])))
-    vel6, lam_pm, lam_n, lam_t = jax.lax.fori_loop(
-        0, model.n_iterations, vel_iter, (vel6, lam_pm0, lam_n0, lam_t0)
+    if model.strict_bullet and n_phases:
+        rps0 = model.row_phase_slot  # static numpy [n_rows, 2]
+        lam_pm0 = lam_pm0.at[rps0[:, 0], rps0[:, 1]].set(jl0)
+    vel6, lam_pm, lam_n, lam_t, _, _ = jax.lax.fori_loop(
+        0, model.n_iterations, vel_iter,
+        (vel6, lam_pm0, lam_n0, lam_t0,
+         jnp.zeros((n_dyn_x,)), jnp.zeros((n_dyn_x, 2))),
     )
     # flatten phase-major impulses back to row order for diagnostics
     if n_phases:
@@ -1329,6 +1546,7 @@ def _finish_step(
         ang_vel=ang_vel,
         contact_lambda=new_cl,
         contact_vid=new_vid,
+        joint_lambda=lam,
     )
     diag = StepDiagnostics(
         slider_lin_pos=slider_lin_pos,

@@ -125,15 +125,22 @@ class PhysicsModel:
     slider_motor_index: np.ndarray  # [NS] action slot driving this motor (-1 = none)
     # --- contact candidate pairs ---
     pair_body: np.ndarray  # [NPAIR, 2] (dynamic body, other body); other may be static
-    # dynamic-dynamic candidate pairs (member-member collision). Detected with
-    # a capsule approximation per body (axis/half-length/radius from the
-    # scaled hull AABB) — the reference uses convex hulls for these too, but
-    # member-member touches are rare and shallow; the dominant interaction
-    # (vs the static floor) keeps full hull contacts.
+    # dynamic-dynamic candidate pairs (member-member collision): SAT
+    # vertex-vs-hull-face narrowphase over per-body PROXY hulls (decimated to
+    # <= NP_VERTS points, faces precomputed in the local frame). The
+    # reference runs Bullet's GJK/EPA on the full hulls (item.cpp:17-52);
+    # the proxy + vertex-face formulation is the batched equivalent — the
+    # deepest penetrating vertex of either hull in the other gives the
+    # contact (edge-edge crossings engage once a vertex passes the combined
+    # 0.08 margin, slightly later than EPA would report them).
     dyn_pair_body: np.ndarray  # [NDP, 2]
-    capsule_axis: np.ndarray  # [NB, 3] local unit axis (longest extent)
-    capsule_half_len: np.ndarray  # [NB]
-    capsule_radius: np.ndarray  # [NB]
+    np_hull: np.ndarray  # [NB, NPV, 3] proxy hull points (pad = repeat pt 0)
+    np_hull_mask: np.ndarray  # [NB, NPV]
+    np_face: np.ndarray  # [NB, NPF, 4] local face planes (n, d): n.x+d<=0 inside
+    np_face_mask: np.ndarray  # [NB, NPF]
+    # static coloring of dyn pairs for the xla backend's Gauss-Seidel phases
+    # (pairs in one color touch disjoint bodies)
+    dyn_pair_color: tuple  # tuple of np.ndarray pair-index groups
     # --- solver schedule (graph coloring over constraint blocks) ---
     # each block is (kind, index): kind 0=p2p, 1=hinge, 2=fixed, 3=slider
     color_groups: tuple[tuple[tuple[int, int], ...], ...]
@@ -153,8 +160,16 @@ class PhysicsModel:
     # (fused sequential sweep kernel, exact Bullet row ordering). Switch with
     # dataclasses.replace(model, solver="pallas").
     solver: str = "xla"
-    # member-member (dyn-dyn) capsule contacts; solved on the pallas path
+    # member-member (dyn-dyn) SAT contacts (both backends)
     member_contacts: bool = True
+    # strict-Bullet configuration for parity runs (engine.py module docstring
+    # lists the default-mode divergences this flag removes):
+    # - limit-row correction velocity uncapped (Bullet applies no cap)
+    # - joint rows warm-started from cached impulses x 0.85 (Bullet
+    #   warm-starts every btSolverConstraint, not only contacts)
+    # - single slip-aligned friction direction per contact point (Bullet's
+    #   default solver mode; the default here uses two fixed tangents)
+    strict_bullet: bool = False
 
     @property
     def n_p2p(self) -> int:
@@ -411,6 +426,110 @@ class ModelBuilder:
                 phases.append(np.array(sorted(ids), dtype=np.int32))
         return tuple(phases), n_rows
 
+    NP_VERTS = 12  # proxy-hull vertex budget for dyn-dyn narrowphase
+    NP_TEST = 24  # test-point budget (verts + long-edge subdivision points)
+
+    def _narrowphase_geometry(self, dyn_pairs: np.ndarray):
+        """Proxy hulls + local-frame face planes for bodies in dyn pairs.
+
+        Feet-sized hulls (48 verts, ~90 faces) would blow up the SAT stream;
+        they are decimated to <= NP_VERTS extreme points (role of Bullet's
+        btShapeHull, applied a second time for the pair narrowphase) and
+        their coplanar-deduped faces are stored as (n, d) with n.x + d <= 0
+        inside. The TEST-POINT set additionally subdivides the longest hull
+        edges (up to NP_TEST points): a vertex-vs-hull test alone misses
+        edge-face crossings (two elongated members crossing like an X have no
+        vertex of either hull inside the other); surface points along long
+        edges catch those contacts. Bodies not in any dyn pair get empty
+        masks."""
+        from scipy.spatial import ConvexHull
+
+        from .shapes import reduce_to_hull
+
+        nb = len(self.bodies)
+        used = set(int(x) for x in dyn_pairs.flatten()) if len(dyn_pairs) else set()
+        verts_per, faces_per = {}, {}
+        vmax = fmax = 1
+        for i in sorted(used):
+            pts = reduce_to_hull(self.bodies[i].hull, self.NP_VERTS)
+            hull = ConvexHull(pts.astype(np.float64), qhull_options="QJ")
+            eq = hull.equations
+            uniq = []
+            for e in eq:
+                if not any(
+                    np.allclose(e[:3], u[:3], atol=1e-4)
+                    and abs(e[3] - u[3]) < 1e-4
+                    for u in uniq
+                ):
+                    uniq.append(e)
+            # surface test points: hull verts + subdivision of the longest
+            # edges (split the current longest segment until the budget is
+            # spent or segments get short relative to the body size)
+            edges = set()
+            for simplex in hull.simplices:
+                for a_, b_ in ((0, 1), (1, 2), (2, 0)):
+                    e_ = (min(simplex[a_], simplex[b_]), max(simplex[a_], simplex[b_]))
+                    edges.add(e_)
+            segs = [
+                (float(np.linalg.norm(pts[e0] - pts[e1])), pts[e0], pts[e1])
+                for e0, e1 in edges
+            ]
+            body_scale = float(np.linalg.norm(pts.max(0) - pts.min(0)))
+            test_pts = [p for p in pts]
+            import heapq
+
+            heap = [(-l, k, a_, b_) for k, (l, a_, b_) in enumerate(segs)]
+            heapq.heapify(heap)
+            ctr = len(segs)
+            while heap and len(test_pts) < self.NP_TEST:
+                neg_l, _, a_, b_ = heapq.heappop(heap)
+                if -neg_l < 0.35 * body_scale:
+                    break  # remaining segments are short; points add little
+                mid = (a_ + b_) / 2.0
+                test_pts.append(mid)
+                for half in ((a_, mid), (mid, b_)):
+                    ctr += 1
+                    heapq.heappush(
+                        heap,
+                        (-float(np.linalg.norm(half[0] - half[1])), ctr, *half),
+                    )
+            verts_per[i] = np.asarray(test_pts, dtype=np.float32)
+            faces_per[i] = np.array(uniq)
+            vmax = max(vmax, len(test_pts))
+            fmax = max(fmax, len(uniq))
+        np_hull = np.zeros((nb, vmax, 3), dtype=np.float32)
+        np_hull_mask = np.zeros((nb, vmax), dtype=np.float32)
+        np_face = np.zeros((nb, fmax, 4), dtype=np.float32)
+        # unreal faces: a plane far below everything keeps max() harmless
+        np_face[:, :, 1] = 1.0
+        np_face[:, :, 3] = -1e9
+        np_face_mask = np.zeros((nb, fmax), dtype=np.float32)
+        for i in sorted(used):
+            v, f = verts_per[i], faces_per[i]
+            np_hull[i, : len(v)] = v
+            np_hull[i, len(v):] = v[0]
+            np_hull_mask[i, : len(v)] = 1.0
+            np_face[i, : len(f)] = f
+            np_face_mask[i, : len(f)] = 1.0
+        return np_hull, np_hull_mask, np_face, np_face_mask
+
+    def _color_dyn_pairs(self, dyn_pairs: np.ndarray) -> tuple:
+        """Greedy-color dyn pairs so one color's pairs touch disjoint bodies
+        (a valid vectorized Gauss-Seidel phase on the xla backend)."""
+        colors: list[list[int]] = []
+        colors_bodies: list[set[int]] = []
+        for p, (a, b) in enumerate(dyn_pairs):
+            bodies = {int(a), int(b)}
+            for ci in range(len(colors)):
+                if not (colors_bodies[ci] & bodies):
+                    colors[ci].append(p)
+                    colors_bodies[ci] |= bodies
+                    break
+            else:
+                colors.append([p])
+                colors_bodies.append(set(bodies))
+        return tuple(np.array(c, dtype=np.int32) for c in colors)
+
     def finalize(self) -> PhysicsModel:
         colors = self._color_blocks()
         phases, n_rows = self._row_schedule(colors)
@@ -435,30 +554,18 @@ class ModelBuilder:
             hull[i, v:] = b.hull[0]  # pad with a real point (keeps support fns exact)
             hull_mask[i, :v] = 1.0
 
-        # capsule approximations from the scaled hull AABB: axis = longest
-        # half-extent dimension; radius = max of the other two (+ margin);
-        # half_len = long half-extent minus the radius (endpoint inset)
-        cap_axis = np.zeros((nb, 3), dtype=np.float32)
-        cap_hl = np.zeros((nb,), dtype=np.float32)
-        cap_r = np.zeros((nb,), dtype=np.float32)
-        for i, b in enumerate(self.bodies):
-            mn, mx = b.hull.min(axis=0), b.hull.max(axis=0)
-            center_off = (mx + mn) / 2.0  # hulls are ~centered; ignore offset
-            half = (mx - mn) / 2.0
-            k = int(np.argmax(half))
-            others = [half[j] for j in range(3) if j != k]
-            r = float(max(others)) + b.margin
-            cap_axis[i, k] = 1.0
-            cap_hl[i] = max(float(half[k]) + b.margin - r, 0.0)
-            cap_r[i] = r
-            del center_off
-
         all_pairs = self._collision_pairs()
         if len(all_pairs):
             is_static = np.array([self.bodies[j].mass == 0.0 for j in all_pairs[:, 1]])
             dyn_pairs = all_pairs[~is_static]
         else:
             dyn_pairs = np.zeros((0, 2), dtype=np.int32)
+
+        # narrowphase proxy hulls + local face planes for dyn-dyn SAT
+        np_hull, np_hull_mask, np_face, np_face_mask = self._narrowphase_geometry(
+            dyn_pairs
+        )
+        dyn_pair_color = self._color_dyn_pairs(dyn_pairs)
 
         inertia = np.stack([self._inertia(b) for b in self.bodies])
         inv_inertia = np.where(inertia > 0, 1.0 / np.maximum(inertia, 1e-18), 0.0)
@@ -504,9 +611,11 @@ class ModelBuilder:
             slider_motor_index=arr(self.slider, lambda c: c[9], np.int32),
             pair_body=all_pairs,
             dyn_pair_body=dyn_pairs.astype(np.int32),
-            capsule_axis=cap_axis,
-            capsule_half_len=cap_hl,
-            capsule_radius=cap_r,
+            np_hull=np_hull,
+            np_hull_mask=np_hull_mask,
+            np_face=np_face,
+            np_face_mask=np_face_mask,
+            dyn_pair_color=dyn_pair_color,
             color_groups=colors,
             row_phases=phases,
             phase_table=phase_table,

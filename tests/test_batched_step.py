@@ -121,6 +121,30 @@ def test_contact_model_matches_per_env():
     _compare(_contact_model())
 
 
+def test_strict_mode_matches_per_env():
+    """strict_bullet (uncapped limit bias, joint warm start, slip friction)
+    routes through the same env-last fast path."""
+    _compare(dataclasses.replace(_contact_model(), strict_bullet=True))
+    _compare(dataclasses.replace(_cartpole_like_model(), strict_bullet=True))
+
+
+def test_strict_mode_joint_warm_start_carries():
+    """Across steps the strict path seeds joint rows from the cached
+    impulses — second-step lam0 != 0 changes the solve vs a cleared cache."""
+    model = dataclasses.replace(_cartpole_like_model(), strict_bullet=True)
+    s = init_state(model)
+    ns = model.n_slider
+    tgt = jnp.full((ns,), 0.8)
+    en = jnp.ones((ns,), bool)
+    step = jax.jit(lambda s: _physics_step_impl(model, s, tgt, en, DT))
+    s1, _ = step(s)
+    assert float(jnp.abs(s1.joint_lambda).sum()) > 0.0
+    s2, _ = step(s1)
+    # clearing the cache before the second step must change the result
+    s2_cleared, _ = step(s1._replace(joint_lambda=jnp.zeros_like(s1.joint_lambda)))
+    assert not np.allclose(np.asarray(s2.lin_vel), np.asarray(s2_cleared.lin_vel))
+
+
 def test_padding_independence():
     """Batch sizes that don't divide the kernel tile pad with replicated
     lanes; results for the real envs must not depend on the pad."""

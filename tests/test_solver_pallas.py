@@ -38,15 +38,17 @@ def _build():
 
 
 @pytest.mark.slow
-def test_member_capsule_contacts_separate_bodies():
-    """Member-member (dyn-dyn) capsule contacts keep overlapping boxes apart
-    (pallas path; the XLA fallback omits them)."""
+@pytest.mark.parametrize("solver", ["pallas", "xla"])
+def test_member_contacts_separate_bodies(solver):
+    """Member-member (dyn-dyn) SAT contacts keep overlapping boxes apart on
+    BOTH backends (stacked-box case: the upper box comes to rest on the
+    lower one instead of falling through)."""
     b = ModelBuilder()
     cube = get_shape("cube").hull_verts
     b.add_body("floor", cube, (100, 1, 100), 0.0, (0, -1, 0), (0, 0, 0, 1))
     b.add_body("box1", cube, (0.3, 0.3, 0.3), 1.0, (0.0, 0.5, 0), (0, 0, 0, 1))
     b.add_body("box2", cube, (0.3, 0.3, 0.3), 1.0, (0.25, 1.1, 0), (0, 0, 0, 1))
-    model = dataclasses.replace(b.finalize(), solver="pallas")
+    model = dataclasses.replace(b.finalize(), solver=solver)
     assert len(model.dyn_pair_body) == 1
 
     def run(m, n=90):
@@ -63,8 +65,40 @@ def test_member_capsule_contacts_separate_bodies():
     d_on = float(jnp.linalg.norm(s_on.pos[2] - s_on.pos[1]))
     d_off = float(jnp.linalg.norm(s_off.pos[2] - s_off.pos[1]))
     # with contacts the boxes push apart; without, they interpenetrate
-    assert d_on > 0.68  # >= sum of capsule radii
+    assert d_on > 0.58  # ~ box extents + margins
     assert d_off < 0.4
+    assert not np.isnan(np.asarray(s_on.pos)).any()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("solver", ["pallas", "xla"])
+def test_leg_cross_contacts(solver):
+    """Two elongated boxes crossing like an X: the SAT narrowphase stops the
+    upper one from sinking through the lower on both backends."""
+    b = ModelBuilder()
+    cube = get_shape("cube").hull_verts
+    b.add_body("floor", cube, (100, 1, 100), 0.0, (0, -1, 0), (0, 0, 0, 1))
+    # lower leg along x, upper leg along z, overlapping at the middle
+    b.add_body("leg1", cube, (0.6, 0.08, 0.08), 5.0, (0.0, 0.4, 0), (0, 0, 0, 1))
+    b.add_body("leg2", cube, (0.08, 0.08, 0.6), 1.0, (0.0, 0.62, 0), (0, 0, 0, 1))
+    model = dataclasses.replace(b.finalize(), solver=solver)
+
+    def run(m, n=120):
+        s = init_state(m)
+
+        def body(s, _):
+            s, _d = physics_step(m, s, jnp.zeros((0,)), jnp.ones((0,), bool), DT)
+            return s, None
+
+        return jax.jit(lambda s: jax.lax.scan(body, s, None, length=n))(s)[0]
+
+    s_on = run(model)
+    s_off = run(dataclasses.replace(model, member_contacts=False))
+    # with contacts leg2 rests on top of leg1 (y ~ leg1 top + its half height)
+    y_on = float(s_on.pos[2, 1])
+    y_off = float(s_off.pos[2, 1])
+    assert y_on > float(s_on.pos[1, 1]) + 0.10, (y_on, float(s_on.pos[1, 1]))
+    assert y_off < y_on - 0.08  # without contacts it sinks into leg1
     assert not np.isnan(np.asarray(s_on.pos)).any()
 
 
