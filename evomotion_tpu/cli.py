@@ -12,8 +12,11 @@ TPU-native notes:
 - --cuda / --env_num_threads are accepted for surface parity and ignored:
   device placement is jax's, and Bullet's thread pool is replaced by batching
   (pass --num_envs to train many envs in lockstep with the batched trainer).
-- `run` renders headlessly: it records body transforms with the viewer
-  recorder instead of opening a GLFW window (evo_motion_view equivalent).
+- `run` renders headlessly by default: it records body transforms with the
+  viewer recorder (--record x.npz --html x.html produces a self-playing HTML
+  viewer). `run --live` serves a live 60 FPS view of the rolling policy at
+  http://localhost:PORT (the evo_motion_view window + infer.cpp loop
+  equivalent: one env step per rendered browser frame, auto-reset on done).
 """
 
 from __future__ import annotations
@@ -73,6 +76,16 @@ def build_parser() -> argparse.ArgumentParser:
     run_p.add_argument("-h2", "--height", type=int, default=1024)
     run_p.add_argument("--episodes", type=int, default=1)
     run_p.add_argument("--record", default=None, help="record trajectory .npz")
+    run_p.add_argument(
+        "--html", default=None,
+        help="also render the recording into a self-playing HTML viewer",
+    )
+    run_p.add_argument(
+        "--live", action="store_true",
+        help="serve a live view at --port: the browser's 60 FPS poll steps "
+        "agent+env per frame (the reference's windowed infer loop)",
+    )
+    run_p.add_argument("--port", type=int, default=8800)
 
     sub.add_parser("gui", help="robot builder (headless API; see builder/)")
     return parser
@@ -112,12 +125,30 @@ def main(argv=None):
             args.episodes, args.nb_saves, args.output_path,
         )
     else:
+        if args.live:
+            from .viewer.live import serve_live
+
+            env = env_factory.make(args.env_seed)
+            agent = agent_factory.create_agent(env.observation_size, env.action_size)
+            agent.load(args.input_path)
+            agent.set_eval(True)
+            serve_live(env, agent, port=args.port, env_seed=args.env_seed)
+            return 0
+
         from .train.driver import infer
 
-        return infer(
+        rc = infer(
             args.env_seed, agent_factory, env_factory, args.input_path,
             episodes=args.episodes, record_path=args.record,
         )
+        if args.html and args.record:
+            from .viewer.html_viewer import write_playback_html
+
+            env = env_factory.make(args.env_seed)
+            root = getattr(getattr(env, "meta", None), "root_body", 0)
+            write_playback_html(args.record, args.html, env.model, root)
+            print(f"viewer written to {args.html}")
+        return rc
 
 
 if __name__ == "__main__":
