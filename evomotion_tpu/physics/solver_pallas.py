@@ -190,7 +190,7 @@ def solver_sweep(
     )
 
     in_specs = [
-            pl.BlockSpec(memory_space=pltpu.ANY),  # row data stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # row data stays in HBM
             pl.BlockSpec(
                 (1, nb * 6, SUB, LANE), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -322,7 +322,7 @@ def solver_sweep_envlast(
         ],
         grid=(g,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # rows stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # rows stay in HBM
             pl.BlockSpec(
                 (1, nb6, SUB, LANE), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import json
 import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
 
 import jax
 import numpy as np
@@ -66,10 +66,11 @@ def serve_live(env, agent, port: int = 8800, env_seed: int = 1234,
     ground_y = float(env.model.init_pos[:, 1].min()) if env.model.n_bodies else -1.5
     page = live_html(env.model, root_body, ground_y)
     session = LiveSession(env, agent, env_seed)
-    served = {"n": 0}
+    served = {"n": 0, "total": 0}
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
+            served["total"] += 1
             if self.path == "/state":
                 body = json.dumps(session.advance()).encode()
                 ctype = "application/json"
@@ -86,12 +87,21 @@ def serve_live(env, agent, port: int = 8800, env_seed: int = 1234,
         def log_message(self, *a):
             pass
 
-    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
-    print(f"live viewer: http://localhost:{port}/ (ctrl-c to stop)")
     if max_frames is None:
+        server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        print(f"live viewer: http://localhost:{port}/ (ctrl-c to stop)")
         server.serve_forever()
     else:
+        # Single-threaded server for the bounded (test) path: handle_request()
+        # returns only after the handler ran, so the served counter is exact.
+        # The timeout bounds the wait for the next request, so a client that
+        # stops polling early can never hang the loop.
+        server = HTTPServer(("127.0.0.1", port), Handler)
+        server.timeout = 30.0
         while served["n"] < max_frames:
+            before = served["total"]
             server.handle_request()
+            if served["total"] == before:
+                break  # timed out with no request: client went away
     server.server_close()
     return session
