@@ -477,47 +477,64 @@ def detect_contacts(model: PhysicsModel, pos, quat):
 def _dyn_narrowphase(model: PhysicsModel, pos, quat):
     """Deepest-vertex SAT contact per dyn pair (env-last engine._dyn_narrowphase).
 
+    Works in the VERTEX body's local frame: the tested hull verts are then a
+    STATIC array, so the [NDP, V, F, B] vertex-face distance tensor is a
+    broadcast multiply-add of two small operands ([NDP, F, 3, B] rotated
+    planes x static verts) feeding straight into the max-over-faces reduce —
+    XLA fuses the chain and the 4-D tensor never touches HBM (the previous
+    world-frame einsum materialized ~470 MB of it per direction at B=2048;
+    VERDICT r2 #1). The supporting face is recovered in a second tiny pass
+    over just the selected vertex ([NDP, F, B]).
+
     Returns (point [NDP, 3, B], normal [NDP, 3, B] from B toward A, gap [NDP, B])."""
     dp = model.dyn_pair_body
     ia, ib = dp[:, 0], dp[:, 1]
-    hull = jnp.asarray(model.np_hull)
+    hull = model.np_hull  # static numpy [NB, V, 3]
     hmask = model.np_hull_mask  # static numpy
-    face = model.np_face  # static numpy
+    face = model.np_face  # static numpy [NB, F, 4]
     nv = hull.shape[1]
     nf = face.shape[1]
     iota_v = jnp.arange(nv)[None, :, None]
     iota_f = jnp.arange(nf)[None, :, None]
 
-    def verts_world(idx):
-        return pos[idx][:, None] + _qrot(quat[idx][:, None], hull[idx][..., None])
+    def deepest(widx, fidx):
+        """Verts of body W against faces of body F, in W's local frame."""
+        q_rel = _qmul(_qconj(quat[fidx]), quat[widx])  # [P, 4, B]
+        t_rel = _qrot(_qconj(quat[fidx]), pos[widx] - pos[fidx])  # [P, 3, B]
+        nl = jnp.asarray(face[fidx][..., :3])  # static [P, F, 3]
+        dl = jnp.asarray(face[fidx][..., 3])  # static [P, F]
+        # F's face planes expressed in W's frame: n.x_W + d with
+        # n = R_rel^T n_F, d = n_F . t_rel + d_F
+        nrot = _qrot(_qconj(q_rel)[:, None], nl[..., None])  # [P, F, 3, B]
+        doff = jnp.sum(nl[..., None] * t_rel[:, None], -2) + dl[..., None]
 
-    def planes_world(idx):
-        n_w = _qrot(quat[idx][:, None], jnp.asarray(face[idx][..., :3])[..., None])
-        d_w = jnp.asarray(face[idx][..., 3])[..., None] - jnp.sum(
-            n_w * pos[idx][:, None], -2
-        )
-        return n_w, d_w  # [NDP, F, 3, B], [NDP, F, B]
-
-    va, vb = verts_world(ia), verts_world(ib)
-
-    def deepest(verts, vmask, n_w, d_w):
-        d = jnp.einsum("pvin,pfin->pvfn", verts, n_w) + d_w[:, None]
-        dist = jnp.max(d, axis=2)  # [NDP, V, B]
-        f_id = jnp.argmax(d, axis=2)
-        dist = jnp.where(jnp.asarray(vmask)[:, :, None] > 0, dist, 1e9)
-        v_id = jnp.argmin(dist, axis=1)  # [NDP, B]
+        hw = hull[widx]  # static [P, V, 3]
+        hx = jnp.asarray(hw[:, :, 0])[:, :, None, None]
+        hy = jnp.asarray(hw[:, :, 1])[:, :, None, None]
+        hz = jnp.asarray(hw[:, :, 2])[:, :, None, None]
+        d = (
+            hx * nrot[:, None, :, 0, :]
+            + hy * nrot[:, None, :, 1, :]
+            + hz * nrot[:, None, :, 2, :]
+            + doff[:, None]
+        )  # [P, V, F, B] — broadcast feeding the reduce; fused by XLA
+        dist = jnp.max(d, axis=2)  # [P, V, B]
+        dist = jnp.where(jnp.asarray(hmask[widx])[:, :, None] > 0, dist, 1e9)
+        v_id = jnp.argmin(dist, axis=1)  # [P, B]
         gap = jnp.min(dist, axis=1)
-        ohv = (iota_v == v_id[:, None]).astype(jnp.float32)
-        pt = jnp.einsum("pvn,pvin->pin", ohv, verts)
-        f_sel = jnp.sum(ohv * f_id.astype(jnp.float32), axis=1).astype(jnp.int32)
+
+        ohv = (iota_v == v_id[:, None]).astype(jnp.float32)  # [P, V, B]
+        hsel = jnp.einsum("pvn,pvj->pjn", ohv, jnp.asarray(hw))  # [P, 3, B]
+        pt = pos[widx] + _qrot(quat[widx], hsel)  # world
+        d2 = jnp.sum(nrot * hsel[:, None], axis=-2) + doff  # [P, F, B]
+        f_sel = jnp.argmax(d2, axis=1)
         ohf = (iota_f == f_sel[:, None]).astype(jnp.float32)
-        nrm = jnp.einsum("pfn,pfin->pin", ohf, n_w)
+        nl_sel = jnp.einsum("pfn,pfj->pjn", ohf, nl)  # F-local face normal
+        nrm = _qrot(quat[fidx], nl_sel)  # world
         return pt, nrm, gap
 
-    na_w, da_w = planes_world(ia)
-    nb_w, db_w = planes_world(ib)
-    pt1, nrm1, gap1 = deepest(vb, hmask[ib], na_w, da_w)
-    pt2, nrm2, gap2 = deepest(va, hmask[ia], nb_w, db_w)
+    pt1, nrm1, gap1 = deepest(ib, ia)  # B's verts in A's faces
+    pt2, nrm2, gap2 = deepest(ia, ib)  # A's verts in B's faces
 
     use1 = (gap1 <= gap2)[:, None]
     point = jnp.where(use1, pt1, pt2)

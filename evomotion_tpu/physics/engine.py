@@ -717,38 +717,46 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
     (item.cpp:17-52); see model.PhysicsModel.np_hull for the proxy rationale."""
     dp = model.dyn_pair_body
     ia, ib = dp[:, 0], dp[:, 1]
-    hull = model_arr(model.np_hull)
+    hull = model.np_hull  # static numpy
     hmask = model.np_hull_mask  # static numpy
-    face = model_arr(model.np_face)
+    face = model.np_face  # static numpy
     marg = model_arr(model.margin)
 
-    def verts_world(idx):
-        return pos[idx][:, None] + maths.quat_rotate(quat[idx][:, None], hull[idx])
+    def deepest(widx, fidx):
+        """Verts of body W against faces of body F, in W's local frame.
 
-    def planes_world(idx):
-        n_w = maths.quat_rotate(quat[idx][:, None], face[idx][..., :3])
-        d_w = face[idx][..., 3] - jnp.sum(n_w * pos[idx][:, None], -1)
-        return n_w, d_w
+        Same local-frame formulation as batched._dyn_narrowphase (which is
+        the perf-critical layout; see its docstring) so the per-env and
+        env-last paths agree numerically."""
+        q_rel = maths.quat_mul(maths.quat_conj(quat[fidx]), quat[widx])
+        t_rel = maths.quat_rotate(
+            maths.quat_conj(quat[fidx]), pos[widx] - pos[fidx]
+        )
+        nl = jnp.asarray(face[fidx][..., :3])  # [P, F, 3]
+        dl = jnp.asarray(face[fidx][..., 3])  # [P, F]
+        nrot = maths.quat_rotate(
+            maths.quat_conj(q_rel)[:, None], nl
+        )  # [P, F, 3] — F's face normals in W's frame
+        doff = jnp.sum(nl * t_rel[:, None], -1) + dl  # [P, F]
 
-    va, vb = verts_world(ia), verts_world(ib)
-
-    def deepest(verts, vmask, n_w, d_w):
-        # signed distance of each vertex to the hull surface: max over faces
-        d = jnp.einsum("pvk,pfk->pvf", verts, n_w) + d_w[:, None, :]
-        dist = jnp.max(d, -1)  # [NDP, V]
-        f_id = jnp.argmax(d, -1)
-        dist = jnp.where(jnp.asarray(vmask) > 0, dist, 1e9)
+        hw = jnp.asarray(hull[widx])  # [P, V, 3]
+        d = jnp.einsum("pvj,pfj->pvf", hw, nrot) + doff[:, None]
+        dist = jnp.max(d, -1)  # [P, V]
+        dist = jnp.where(jnp.asarray(hmask[widx]) > 0, dist, 1e9)
         v_id = jnp.argmin(dist, -1)  # deepest vertex
         gap = jnp.min(dist, -1)
-        pt = jnp.take_along_axis(verts, v_id[:, None, None], 1)[:, 0]
-        f_sel = jnp.take_along_axis(f_id, v_id[:, None], 1)[:, 0]
-        nrm = jnp.take_along_axis(n_w, f_sel[:, None, None], 1)[:, 0]
+        hsel = jnp.take_along_axis(hw, v_id[:, None, None], 1)[:, 0]  # [P, 3]
+        pt = pos[widx] + maths.quat_rotate(quat[widx], hsel)
+        d2 = jnp.sum(nrot * hsel[:, None], -1) + doff  # [P, F]
+        f_sel = jnp.argmax(d2, -1)
+        nl_sel = jnp.take_along_axis(
+            jnp.asarray(nl), f_sel[:, None, None], 1
+        )[:, 0]
+        nrm = maths.quat_rotate(quat[fidx], nl_sel)
         return pt, nrm, gap
 
-    na_w, da_w = planes_world(ia)
-    nb_w, db_w = planes_world(ib)
-    pt1, nrm1, gap1 = deepest(vb, hmask[ib], na_w, da_w)  # B's verts in A
-    pt2, nrm2, gap2 = deepest(va, hmask[ia], nb_w, db_w)  # A's verts in B
+    pt1, nrm1, gap1 = deepest(ib, ia)  # B's verts in A
+    pt2, nrm2, gap2 = deepest(ia, ib)  # A's verts in B
 
     use1 = (gap1 <= gap2)[:, None]
     point = jnp.where(use1, pt1, pt2)
