@@ -71,27 +71,29 @@ def train_batched(
     """TPU-first batched trainer: N envs in lockstep, jitted rollout+update.
 
     `episodes` is interpreted as train iterations per save (each iteration
-    covers horizon*num_envs env steps). Supported agents: ppo_gae (on-policy
-    GAE tier, ppo_batched.py) and soft_actor_critic / cross_q (device
+    covers horizon*num_envs env steps). Supported agents: ppo_gae /
+    ppo_gae_liquid (on-policy GAE tier, ppo_batched.py /
+    ppo_liquid_batched.py) and soft_actor_critic / cross_q (device
     ring-buffer tier, offpolicy_batched.py)."""
     if agent_name in ("soft_actor_critic", "cross_q"):
         return _train_batched_offpolicy(
             env_seed, env_factory, agent_params, num_envs, episodes, nb_saves,
             output_path, agent_name,
         )
-    if agent_name not in ("ppo_gae", "ppo"):
+    if agent_name not in ("ppo_gae", "ppo", "ppo_gae_liquid"):
         raise SystemExit(
-            f"batched training supports ppo_gae/soft_actor_critic/cross_q, not {agent_name}"
+            "batched training supports ppo_gae/ppo_gae_liquid/"
+            f"soft_actor_critic/cross_q, not {agent_name}"
         )
-    from ..train.ppo_batched import BatchedPpo, PpoConfig
     from ..train.checkpoint import save_component
+    from ..train.ppo_batched import BatchedPpo, PpoConfig
+    from ..train.ppo_liquid_batched import BatchedPpoLiquid, PpoLiquidConfig
 
     # mt_parity off: vmapped envs draw per-env jax.random resets (a shared
     # mt19937 table would tilt every env identically)
     env = env_factory.make(env_seed, mt_parity=False)
     g = lambda k, d: type(d)(agent_params[k]) if k in agent_params else d
-    cfg = PpoConfig(
-        hidden_size=g("hidden_size", 256),
+    common = dict(
         gamma=g("gamma", 0.99),
         lam=g("lambda", 0.95),
         epsilon=g("epsilon", 0.2),
@@ -103,7 +105,16 @@ def train_batched(
         horizon=g("horizon", 64),
         n_envs=num_envs,
     )
-    trainer = BatchedPpo(env, cfg, seed=g("seed", env_seed))
+    if agent_name == "ppo_gae_liquid":
+        cfg = PpoLiquidConfig(
+            neurons=g("neuron_number", 64),
+            unfolding_steps=g("unfolding_steps", 6),
+            **common,
+        )
+        trainer = BatchedPpoLiquid(env, cfg, seed=g("seed", env_seed))
+    else:
+        cfg = PpoConfig(hidden_size=g("hidden_size", 256), **common)
+        trainer = BatchedPpo(env, cfg, seed=g("seed", env_seed))
     train_step = jax.jit(trainer.train_step_fn())
     state = trainer.init()
     os.makedirs(output_path, exist_ok=True)

@@ -93,6 +93,38 @@ def load_train_state(folder: str, like: PpoTrainState) -> PpoTrainState:
     )
 
 
+def gae_and_normalize(cfg, values, rewards, dones, valids, bootstrap):
+    """Done-aware masked GAE + the reference's normalized-advantage returns
+    (ppo_gae.cpp:134-152). Shapes [T, N, 1]; returns (advantages, returns,
+    maskf, n_valid)."""
+    rewards = rewards[..., None]
+    donesf = dones[..., None].astype(jnp.float32)
+    maskf = valids[..., None].astype(jnp.float32)
+
+    next_values = jnp.concatenate([values[1:], bootstrap[None]], axis=0)
+    deltas = rewards + cfg.gamma * (1.0 - donesf) * next_values - values
+    deltas = deltas * maskf
+
+    def gae_step(carry, xs):
+        delta_t, done_t, mask_t = xs
+        g = delta_t + cfg.gamma * cfg.lam * (1.0 - done_t) * mask_t * carry
+        return g, g
+
+    _, adv_rev = jax.lax.scan(
+        gae_step,
+        jnp.zeros_like(deltas[0]),
+        (jnp.flip(deltas, 0), jnp.flip(donesf, 0), jnp.flip(maskf, 0)),
+    )
+    advantages = jnp.flip(adv_rev, 0)
+
+    n = jnp.maximum(maskf.sum(), 1.0)
+    mean = (advantages * maskf).sum() / n
+    var = (((advantages - mean) ** 2) * maskf).sum() / jnp.maximum(n - 1.0, 1.0)
+    advantages = (advantages - mean) / (jnp.sqrt(var) + 1e-8)
+    returns = advantages + values  # reference quirk: normalized adv
+    return advantages, returns, maskf, n
+
+
 class BatchedPpo:
     def __init__(self, env, config: PpoConfig = PpoConfig(), seed: int = 1234):
         self.env = env
@@ -161,35 +193,13 @@ class BatchedPpo:
         def train_step(state: PpoTrainState):
             state, traj = rollout(state)
             obs, actions, log_probs, values, rewards, dones, valids = traj
-            # shapes: [T, N, ...]; rewards/dones/valids [T, N]
-            rewards = rewards[..., None]
-            donesf = dones[..., None].astype(jnp.float32)
-            maskf = valids[..., None].astype(jnp.float32)
-
+            # shapes: [T, N, ...]; rewards/dones/valids [T, N].
+            # value of an invalid (settling) next step must not leak into the
+            # GAE; those boundaries are closed by done=1 at the terminal step.
             bootstrap = critic_apply(state.critic_params, state.obs)  # [N, 1]
-            next_values = jnp.concatenate([values[1:], bootstrap[None]], axis=0)
-            # value of an invalid (settling) next step must not leak in;
-            # those boundaries are closed by done=1 at the terminal step
-            deltas = rewards + cfg.gamma * (1.0 - donesf) * next_values - values
-            deltas = deltas * maskf
-
-            def gae_step(carry, xs):
-                delta_t, done_t, mask_t = xs
-                g = delta_t + cfg.gamma * cfg.lam * (1.0 - done_t) * mask_t * carry
-                return g, g
-
-            _, adv_rev = jax.lax.scan(
-                gae_step,
-                jnp.zeros_like(deltas[0]),
-                (jnp.flip(deltas, 0), jnp.flip(donesf, 0), jnp.flip(maskf, 0)),
+            advantages, returns, maskf, n = gae_and_normalize(
+                cfg, values, rewards, dones, valids, bootstrap
             )
-            advantages = jnp.flip(adv_rev, 0)
-
-            n = jnp.maximum(maskf.sum(), 1.0)
-            mean = (advantages * maskf).sum() / n
-            var = (((advantages - mean) ** 2) * maskf).sum() / jnp.maximum(n - 1.0, 1.0)
-            advantages = (advantages - mean) / (jnp.sqrt(var) + 1e-8)
-            returns = advantages + values  # reference quirk: normalized adv
             n_act = n * actions.shape[-1]
 
             def epoch_step(carry, _):
@@ -236,9 +246,9 @@ class BatchedPpo:
             metrics = PpoMetrics(
                 actor_loss=a_losses.mean(),
                 critic_loss=c_losses.mean(),
-                mean_reward=(rewards[..., 0] * maskf[..., 0]).sum() / n,
+                mean_reward=(rewards * maskf[..., 0]).sum() / n,
                 episodes_done=n_done,
-                mean_episode_return=(rewards[..., 0] * maskf[..., 0]).sum()
+                mean_episode_return=(rewards * maskf[..., 0]).sum()
                 / jnp.maximum(n_done, 1.0),
             )
             return state, metrics
