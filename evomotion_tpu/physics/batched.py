@@ -475,7 +475,7 @@ def detect_contacts(model: PhysicsModel, pos, quat):
 
 
 def _dyn_narrowphase(model: PhysicsModel, pos, quat):
-    """Deepest-vertex SAT contact per dyn pair (env-last engine._dyn_narrowphase).
+    """Up-to-K SAT contacts per dyn pair (env-last engine._dyn_narrowphase).
 
     Works in the VERTEX body's local frame: the tested hull verts are then a
     STATIC array, so the [NDP, V, F, B] vertex-face distance tensor is a
@@ -483,11 +483,15 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
     planes x static verts) feeding straight into the max-over-faces reduce —
     XLA fuses the chain and the 4-D tensor never touches HBM (the previous
     world-frame einsum materialized ~470 MB of it per direction at B=2048;
-    VERDICT r2 #1). The supporting face is recovered in a second tiny pass
-    over just the selected vertex ([NDP, F, B]).
+    VERDICT r2 #1). K-deepest selection per direction runs as iterative
+    argmin + one-hot (matches lax.top_k's first-index tie-break, like
+    detect_contacts); the 2K candidates are then reduced to the K deepest
+    the same way, mirroring the per-env path's top_k exactly.
 
-    Returns (point [NDP, 3, B], normal [NDP, 3, B] from B toward A, gap [NDP, B])."""
+    Returns (point [NDP, K, 3, B], normal [NDP, K, 3, B] from B toward A,
+    gap [NDP, K, B])."""
     dp = model.dyn_pair_body
+    kd = model.member_manifold_k
     ia, ib = dp[:, 0], dp[:, 1]
     hull = model.np_hull  # static numpy [NB, V, 3]
     hmask = model.np_hull_mask  # static numpy
@@ -498,7 +502,7 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
     iota_f = jnp.arange(nf)[None, :, None]
 
     def deepest(widx, fidx):
-        """Verts of body W against faces of body F, in W's local frame."""
+        """K deepest verts of body W against faces of body F, W-local frame."""
         q_rel = _qmul(_qconj(quat[fidx]), quat[widx])  # [P, 4, B]
         t_rel = _qrot(_qconj(quat[fidx]), pos[widx] - pos[fidx])  # [P, 3, B]
         nl = jnp.asarray(face[fidx][..., :3])  # static [P, F, 3]
@@ -520,40 +524,67 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
         )  # [P, V, F, B] — broadcast feeding the reduce; fused by XLA
         dist = jnp.max(d, axis=2)  # [P, V, B]
         dist = jnp.where(jnp.asarray(hmask[widx])[:, :, None] > 0, dist, 1e9)
-        v_id = jnp.argmin(dist, axis=1)  # [P, B]
-        gap = jnp.min(dist, axis=1)
 
-        ohv = (iota_v == v_id[:, None]).astype(jnp.float32)  # [P, V, B]
-        hsel = jnp.einsum("pvn,pvj->pjn", ohv, jnp.asarray(hw))  # [P, 3, B]
-        pt = pos[widx] + _qrot(quat[widx], hsel)  # world
-        d2 = jnp.sum(nrot * hsel[:, None], axis=-2) + doff  # [P, F, B]
-        f_sel = jnp.argmax(d2, axis=1)
-        ohf = (iota_f == f_sel[:, None]).astype(jnp.float32)
-        nl_sel = jnp.einsum("pfn,pfj->pjn", ohf, nl)  # F-local face normal
-        nrm = _qrot(quat[fidx], nl_sel)  # world
-        return pt, nrm, gap
+        pts, nrms, gaps = [], [], []
+        g = dist
+        for _ in range(kd):
+            v_id = jnp.argmin(g, axis=1)  # [P, B]
+            gaps.append(jnp.min(g, axis=1))
+            ohv = (iota_v == v_id[:, None]).astype(jnp.float32)  # [P, V, B]
+            hsel = jnp.einsum("pvn,pvj->pjn", ohv, jnp.asarray(hw))  # [P, 3, B]
+            pts.append(pos[widx] + _qrot(quat[widx], hsel))  # world
+            d2 = jnp.sum(nrot * hsel[:, None], axis=-2) + doff  # [P, F, B]
+            f_sel = jnp.argmax(d2, axis=1)
+            ohf = (iota_f == f_sel[:, None]).astype(jnp.float32)
+            nl_sel = jnp.einsum("pfn,pfj->pjn", ohf, nl)  # F-local face normal
+            nrms.append(_qrot(quat[fidx], nl_sel))  # world
+            g = jnp.where(ohv > 0, 1e9, g)
+        return (
+            jnp.stack(pts, 1),  # [P, K, 3, B]
+            jnp.stack(nrms, 1),
+            jnp.stack(gaps, 1),  # [P, K, B]
+        )
 
     pt1, nrm1, gap1 = deepest(ib, ia)  # B's verts in A's faces
     pt2, nrm2, gap2 = deepest(ia, ib)  # A's verts in B's faces
 
-    use1 = (gap1 <= gap2)[:, None]
-    point = jnp.where(use1, pt1, pt2)
     # contact normal points from B toward A (see engine._dyn_narrowphase)
-    n = jnp.where(use1, -nrm1, nrm2)
+    cand_pt = jnp.concatenate([pt1, pt2], 1)  # [P, 2K, 3, B]
+    cand_n = jnp.concatenate([-nrm1, nrm2], 1)
+    cand_gap = jnp.concatenate([gap1, gap2], 1)  # [P, 2K, B]
+
+    iota_c = jnp.arange(2 * kd)[None, :, None]
+    pts, nrms, gaps = [], [], []
+    g = cand_gap
+    for _ in range(kd):
+        c_id = jnp.argmin(g, axis=1)  # [P, B]
+        gaps.append(jnp.min(g, axis=1))
+        ohc = (iota_c == c_id[:, None]).astype(jnp.float32)  # [P, 2K, B]
+        pts.append(jnp.einsum("pcn,pcjn->pjn", ohc, cand_pt))
+        nrms.append(jnp.einsum("pcn,pcjn->pjn", ohc, cand_n))
+        g = jnp.where(ohc > 0, 1e9, g)
+
     marg = model.margin[ia] + model.margin[ib]  # static numpy
-    gap = jnp.minimum(gap1, gap2) - jnp.asarray(marg)[:, None]
+    point = jnp.stack(pts, 1)  # [P, K, 3, B]
+    n = jnp.stack(nrms, 1)
+    gap = jnp.stack(gaps, 1) - jnp.asarray(marg)[:, None, None]
     return point, n, gap
 
 
 def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel, iinv_world, dt):
     """Member-member contacts (env-last engine._member_contact_rows).
 
-    Returns (normal [NDP, ROW_FP, B], friction [NDP*2, ROW_FP, B]): one SAT
-    contact per pair with the split-impulse rhs in the normal rows."""
+    Returns (normal [NDC, ROW_FP, B], friction [NDC*2, ROW_FP, B]) with
+    NDC = pairs x member_manifold_k manifold points flattened pair-major,
+    split-impulse rhs carried in the normal rows."""
     dp = model.dyn_pair_body
+    kd = model.member_manifold_k
     b = pos.shape[-1]
-    ia, ib = dp[:, 0], dp[:, 1]
+    ia, ib = np.repeat(dp[:, 0], kd), np.repeat(dp[:, 1], kd)
     point, n, gap = _dyn_narrowphase(model, pos, quat)
+    point = point.reshape(-1, 3, b)
+    n = n.reshape(-1, 3, b)
+    gap = gap.reshape(-1, b)
     act = (gap < E.CONTACT_BREAKING).astype(jnp.float32)
 
     rel_a = point - pos[ia]
@@ -580,12 +611,12 @@ def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel, iinv_
         inv_eff = jnp.where(eff > 1e-12, 1.0 / jnp.maximum(eff, 1e-12), 0.0)
         return j, dva, dvb, inv_eff
 
-    ndp = len(dp)
+    ndc = len(dp) * kd
     jn_m, dva_n, dvb_n, ie_n = rows_for(n)
     rhs_n = jnp.where(gap > 0, -gap / dt, 0.0)
     rhs_push = jnp.where(gap < 0, -gap * E.ERP2 / dt, 0.0)
-    zeros = jnp.zeros((ndp, b))
-    inf_ = jnp.full((ndp, b), jnp.inf)
+    zeros = jnp.zeros((ndc, b))
+    inf_ = jnp.full((ndc, b), jnp.inf)
     normal_rows = _pack(jn_m, dva_n, dvb_n, rhs_n, zeros, inf_, ie_n * act, rhs_push)
 
     rel_vel = (
@@ -598,7 +629,7 @@ def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel, iinv_
         jt, dva_t, dvb_t, ie_t = rows_for(d)
         en = 1.0 if ti == 0 else t2_en
         fr.append(_pack(jt, dva_t, dvb_t, zeros, zeros, zeros, ie_t * act * en))
-    friction_rows = jnp.stack(fr, axis=1).reshape(ndp * 2, -1, b)
+    friction_rows = jnp.stack(fr, axis=1).reshape(ndc * 2, -1, b)
     return normal_rows, friction_rows
 
 
@@ -627,7 +658,7 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
     b = pos.shape[-1]
     k = MAX_CONTACTS_PER_PAIR
     n_pair = E.n_manifold_pairs(model)
-    n_dyn = E._n_dyn_pairs(model)
+    n_dyn = E._n_dyn_contacts(model)
     chunk = int(os.environ.get("EVOMOTION_PALLAS_CHUNK", "8"))
     interpret = jax.default_backend() != "tpu"
 

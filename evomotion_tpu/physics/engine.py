@@ -700,22 +700,29 @@ def _static_row_bodies(model: PhysicsModel) -> tuple[np.ndarray, np.ndarray]:
     return np.array(idx_a, np.int32), np.array(idx_b, np.int32)
 
 
-def _n_dyn_pairs(model: PhysicsModel) -> int:
-    """Member-member pairs participating in dyn-dyn contacts (both backends)."""
+def _n_dyn_contacts(model: PhysicsModel) -> int:
+    """Member-member contact points (= normal rows) across all dyn pairs."""
     if not model.member_contacts:
         return 0
-    return len(model.dyn_pair_body)
+    return len(model.dyn_pair_body) * model.member_manifold_k
 
 
 def _dyn_narrowphase(model: PhysicsModel, pos, quat):
-    """Deepest-vertex SAT contact per dyn pair (proxy hulls, K=1).
+    """Up-to-K SAT vertex-face contacts per dyn pair (proxy hulls).
 
     Tests each pair both ways — B's proxy verts against A's faces and A's
-    against B's — and keeps the deeper of the two deepest vertices. Returns
-    (point [NDP, 3], normal [NDP, 3] pointing from B toward A, gap [NDP]).
-    The reference runs Bullet's convex-convex narrowphase on the full hulls
-    (item.cpp:17-52); see model.PhysicsModel.np_hull for the proxy rationale."""
+    against B's — takes the K deepest vertices of EACH direction (2K
+    candidates) and keeps the K deepest overall, each with the supporting
+    face normal at its own vertex. This plays the role of Bullet's
+    up-to-4-point persistent manifolds from convex-convex narrowphase +
+    incident-face clipping (item.cpp:17-52): a face-face contact patch is
+    represented by its penetrating corner vertices (the clip-polygon corners
+    that matter), so resting/stacking torque is constrained — a single point
+    cannot do that (VERDICT r2 #5). Returns (point [NDP, K, 3],
+    normal [NDP, K, 3] pointing from B toward A, gap [NDP, K]).
+    See model.PhysicsModel.np_hull for the proxy-hull rationale."""
     dp = model.dyn_pair_body
+    kd = model.member_manifold_k
     ia, ib = dp[:, 0], dp[:, 1]
     hull = model.np_hull  # static numpy
     hmask = model.np_hull_mask  # static numpy
@@ -723,7 +730,8 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
     marg = model_arr(model.margin)
 
     def deepest(widx, fidx):
-        """Verts of body W against faces of body F, in W's local frame.
+        """K deepest verts of body W against faces of body F, in W's local
+        frame.
 
         Same local-frame formulation as batched._dyn_narrowphase (which is
         the perf-critical layout; see its docstring) so the per-env and
@@ -743,40 +751,47 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
         d = jnp.einsum("pvj,pfj->pvf", hw, nrot) + doff[:, None]
         dist = jnp.max(d, -1)  # [P, V]
         dist = jnp.where(jnp.asarray(hmask[widx]) > 0, dist, 1e9)
-        v_id = jnp.argmin(dist, -1)  # deepest vertex
-        gap = jnp.min(dist, -1)
-        hsel = jnp.take_along_axis(hw, v_id[:, None, None], 1)[:, 0]  # [P, 3]
-        pt = pos[widx] + maths.quat_rotate(quat[widx], hsel)
-        d2 = jnp.sum(nrot * hsel[:, None], -1) + doff  # [P, F]
-        f_sel = jnp.argmax(d2, -1)
+        neg, v_id = jax.lax.top_k(-dist, kd)  # K deepest vertices [P, K]
+        gap = -neg
+        hsel = jnp.take_along_axis(hw, v_id[..., None], 1)  # [P, K, 3]
+        pt = pos[widx][:, None] + maths.quat_rotate(quat[widx][:, None], hsel)
+        d2 = jnp.sum(nrot[:, None] * hsel[:, :, None], -1) + doff[:, None]  # [P, K, F]
+        f_sel = jnp.argmax(d2, -1)  # supporting face per selected vertex
         nl_sel = jnp.take_along_axis(
-            jnp.asarray(nl), f_sel[:, None, None], 1
-        )[:, 0]
-        nrm = maths.quat_rotate(quat[fidx], nl_sel)
+            jnp.asarray(nl), f_sel[..., None], 1
+        )  # [P, K, 3]
+        nrm = maths.quat_rotate(quat[fidx][:, None], nl_sel)
         return pt, nrm, gap
 
     pt1, nrm1, gap1 = deepest(ib, ia)  # B's verts in A
     pt2, nrm2, gap2 = deepest(ia, ib)  # A's verts in B
 
-    use1 = (gap1 <= gap2)[:, None]
-    point = jnp.where(use1, pt1, pt2)
     # contact normal points from B toward A: A's face normal points out of A
     # (toward B's vertex) -> negate; B's face normal points toward A -> keep
-    n = jnp.where(use1, -nrm1, nrm2)
-    gap = jnp.minimum(gap1, gap2) - marg[ia] - marg[ib]
+    cand_pt = jnp.concatenate([pt1, pt2], 1)  # [P, 2K, 3]
+    cand_n = jnp.concatenate([-nrm1, nrm2], 1)
+    cand_gap = jnp.concatenate([gap1, gap2], 1)
+    neg, sel = jax.lax.top_k(-cand_gap, kd)  # K deepest candidates
+    point = jnp.take_along_axis(cand_pt, sel[..., None], 1)
+    n = jnp.take_along_axis(cand_n, sel[..., None], 1)
+    gap = -neg - (marg[ia] + marg[ib])[:, None]
     return point, n, gap
 
 
 def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel, iinv_world, dt):
     """Member-member contacts -> packed solver rows (SAT narrowphase).
 
-    Returns (normal_rows [NDP, 28], friction_rows [NDP*2, 28],
-    push_rows [NDP, 28]). One contact per pair — the deepest penetrating
-    proxy-hull vertex of either body in the other; floor contacts keep the
-    4-point full-hull manifolds."""
+    Returns (normal_rows [NDC, 28], friction_rows [NDC*2, 28],
+    push_rows [NDC, 28]) where NDC = n_pairs * member_manifold_k — up to K
+    manifold points per pair, flattened pair-major; floor contacts keep
+    their own 4-point full-hull manifolds."""
     dp = model.dyn_pair_body
-    ia, ib = dp[:, 0], dp[:, 1]
+    kd = model.member_manifold_k
+    ia, ib = np.repeat(dp[:, 0], kd), np.repeat(dp[:, 1], kd)
     point, n, gap = _dyn_narrowphase(model, pos, quat)
+    point = point.reshape(-1, 3)
+    n = n.reshape(-1, 3)
+    gap = gap.reshape(-1)
     act = (gap < CONTACT_BREAKING).astype(jnp.float32)
 
     rel_a = point - pos[ia]
@@ -803,11 +818,11 @@ def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel, iinv_
         inv_eff = jnp.where(eff > 1e-12, 1.0 / jnp.maximum(eff, 1e-12), 0.0)
         return j, dva, dvb, inv_eff
 
-    ndp = len(dp)
+    ndc = len(dp) * kd
     jn_m, dva_n, dvb_n, ie_n = rows_for(n)
     rhs_n = jnp.where(gap > 0, -gap / dt, 0.0)
-    zeros = jnp.zeros((ndp,))
-    inf_ = jnp.full((ndp,), jnp.inf)
+    zeros = jnp.zeros((ndc,))
+    inf_ = jnp.full((ndc,), jnp.inf)
     normal_rows = _pack_rows(jn_m, dva_n, dvb_n, rhs_n, zeros, inf_, ie_n * act)
     rhs_push = jnp.where(gap < 0, -gap * ERP2 / dt, 0.0)
     push_rows = _pack_rows(jn_m, dva_n, dvb_n, rhs_push, zeros, inf_, ie_n * act)
@@ -822,8 +837,8 @@ def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel, iinv_
         jt, dva_t, dvb_t, ie_t = rows_for(d)
         en = 1.0 if ti == 0 else t2_en
         fr.append(_pack_rows(jt, dva_t, dvb_t, zeros, zeros, zeros, ie_t * act * en))
-    # interleave (pair, dir): [NDP, 2, 28]
-    friction_rows = jnp.stack(fr, axis=1).reshape(ndp * 2, -1)
+    # interleave (contact point, dir): [NDC, 2, 28]
+    friction_rows = jnp.stack(fr, axis=1).reshape(ndc * 2, -1)
     return normal_rows, friction_rows, push_rows
 
 
@@ -847,6 +862,9 @@ def _solver_meta(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int):
     parents) in the canonical full/push row order — shared by the per-env
     custom_vmap wrapper below and the env-last batched path (batched.py).
 
+    n_dyn counts member contact POINTS (pairs x member_manifold_k),
+    flattened pair-major to match _member_contact_rows.
+
     Returns (idx6_a, idx6_b, parent, mu, kind_arr, skip_b)."""
     from . import solver_pallas as sp
 
@@ -854,8 +872,14 @@ def _solver_meta(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int):
     pair_np = model.pair_body
     static_sel = model.inv_mass[pair_np[:, 1]] == 0.0
     body_np = pair_np[static_sel][:, 0]
-    dp = model.dyn_pair_body[:n_dyn] if n_dyn else np.zeros((0, 2), np.int32)
-    dyn_a, dyn_b = dp[:, 0].astype(np.int32), dp[:, 1].astype(np.int32)
+    if n_dyn:
+        dp = model.dyn_pair_body
+        kd = n_dyn // len(dp)
+        assert kd * len(dp) == n_dyn, (n_dyn, len(dp))
+        dyn_a = np.repeat(dp[:, 0], kd).astype(np.int32)
+        dyn_b = np.repeat(dp[:, 1], kd).astype(np.int32)
+    else:
+        dyn_a = dyn_b = np.zeros((0,), np.int32)
 
     nrj = model.n_rows if kind == "full" else 0
     if kind == "full":
@@ -1153,7 +1177,7 @@ def _physics_step_impl(
                 jn, dv_n, jnp.zeros_like(dv_n), rhs_push,
                 jnp.zeros((n_pair, k)), inf_pk, inv_eff_n * act,
             ).reshape(n_pair * k, -1)
-            n_dyn = _n_dyn_pairs(model)
+            n_dyn = _n_dyn_contacts(model)
             if n_dyn:
                 member_normal, member_friction, member_push = _member_contact_rows(
                     model, state.pos, state.quat, lin_vel, ang_vel, iinv_world, dt
@@ -1206,11 +1230,16 @@ def _physics_step_impl(
     # statically colored Gauss-Seidel phases (pairs in one color touch
     # disjoint bodies, so a vectorized update is a valid GS step). The pallas
     # backend handles these rows inside the fused sweep instead.
-    n_dyn_x = 0 if model.solver == "pallas" else _n_dyn_pairs(model)
+    n_dyn_x = 0 if model.solver == "pallas" else _n_dyn_contacts(model)
     if n_dyn_x:
         dp_np = model.dyn_pair_body
-        d_ia, d_ib = dp_np[:, 0], dp_np[:, 1]
+        kd = model.member_manifold_k
+        d_ia = np.repeat(dp_np[:, 0], kd)  # per contact point
+        d_ib = np.repeat(dp_np[:, 1], kd)
         dpoint, dnorm, dgap = _dyn_narrowphase(model, state.pos, state.quat)
+        dpoint = dpoint.reshape(-1, 3)
+        dnorm = dnorm.reshape(-1, 3)
+        dgap = dgap.reshape(-1)
         dact = (dgap < CONTACT_BREAKING).astype(jnp.float32)
         drel_a = dpoint - state.pos[d_ia]
         drel_b = dpoint - state.pos[d_ib]
@@ -1250,20 +1279,23 @@ def _physics_step_impl(
         fric_d = jnp.asarray(
             np.clip(model.friction[d_ia] * model.friction[d_ib], 0, 10)
         )
+        # colors are over PAIRS (pairs in one color touch disjoint bodies);
+        # the K manifold points of one pair share both bodies, so they run
+        # as K sequential slot sub-steps within each color (same scheme as
+        # the floor path's K-slot loop)
         d_colors = [np.asarray(c) for c in model.dyn_pair_color]
         oh_d = []
         for c in d_colors:
             oa = np.zeros((len(c), model.n_bodies), np.float32)
             ob = np.zeros((len(c), model.n_bodies), np.float32)
-            oa[np.arange(len(c)), d_ia[c]] = 1.0
-            ob[np.arange(len(c)), d_ib[c]] = 1.0
+            oa[np.arange(len(c)), dp_np[c, 0]] = 1.0
+            ob[np.arange(len(c)), dp_np[c, 1]] = 1.0
             oh_d.append((jnp.asarray(oa), jnp.asarray(ob)))
 
-        def member_solve_color(v6, lam, c_idx, j, dva, dvb, ie, rhs, lo_fn):
-            """One colored GS step for rows of one direction; returns
-            (v6, lam) with lam only updated at c_idx."""
-            ci = d_colors[c_idx]
-            oa, ob = oh_d[c_idx]
+        def member_solve_rows(v6, lam, ci, oa, ob, j, dva, dvb, ie, rhs, lo_fn):
+            """One colored GS step for flat contact rows ci (static numpy
+            indices, one slot of one color); returns (v6, lam) with lam only
+            updated at ci."""
             va = oa @ v6
             vb = ob @ v6
             jc, dvac, dvbc = j[ci], dva[ci], dvb[ci]
@@ -1283,32 +1315,41 @@ def _physics_step_impl(
             return v6, lam
 
         def member_push_pass(p6, lam_dp):
-            for c_idx in range(len(d_colors)):
-                p6, lam_dp = member_solve_color(
-                    p6, lam_dp, c_idx, dn_j, dn_dva, dn_dvb, dn_ie, rhs_dpush,
-                    lambda x, ci: jnp.maximum(x, 0.0),
-                )
+            for c_idx, cp in enumerate(d_colors):
+                oa, ob = oh_d[c_idx]
+                for kk in range(kd):
+                    p6, lam_dp = member_solve_rows(
+                        p6, lam_dp, cp * kd + kk, oa, ob,
+                        dn_j, dn_dva, dn_dvb, dn_ie, rhs_dpush,
+                        lambda x, ci: jnp.maximum(x, 0.0),
+                    )
             return p6, lam_dp
 
         def member_vel_pass(v6, lam_dn, lam_dt):
-            for c_idx in range(len(d_colors)):
-                v6, lam_dn = member_solve_color(
-                    v6, lam_dn, c_idx, dn_j, dn_dva, dn_dvb, dn_ie, rhs_dn,
-                    lambda x, ci: jnp.maximum(x, 0.0),
-                )
+            for c_idx, cp in enumerate(d_colors):
+                oa, ob = oh_d[c_idx]
+                for kk in range(kd):
+                    v6, lam_dn = member_solve_rows(
+                        v6, lam_dn, cp * kd + kk, oa, ob,
+                        dn_j, dn_dva, dn_dvb, dn_ie, rhs_dn,
+                        lambda x, ci: jnp.maximum(x, 0.0),
+                    )
             zero_rhs = jnp.zeros_like(rhs_dn)
             for ti, (j, dva, dvb, ie) in enumerate(
                 ((dt1_j, dt1_dva, dt1_dvb, dt1_ie), (dt2_j, dt2_dva, dt2_dvb, dt2_ie))
             ):
-                for c_idx in range(len(d_colors)):
-                    lam_ti = lam_dt[:, ti]
-                    v6, lam_ti = member_solve_color(
-                        v6, lam_ti, c_idx, j, dva, dvb, ie, zero_rhs,
-                        lambda x, ci: jnp.clip(
-                            x, -fric_d[ci] * lam_dn[ci], fric_d[ci] * lam_dn[ci]
-                        ),
-                    )
-                    lam_dt = lam_dt.at[:, ti].set(lam_ti)
+                for c_idx, cp in enumerate(d_colors):
+                    oa, ob = oh_d[c_idx]
+                    for kk in range(kd):
+                        lam_ti = lam_dt[:, ti]
+                        v6, lam_ti = member_solve_rows(
+                            v6, lam_ti, cp * kd + kk, oa, ob, j, dva, dvb, ie,
+                            zero_rhs,
+                            lambda x, ci: jnp.clip(
+                                x, -fric_d[ci] * lam_dn[ci], fric_d[ci] * lam_dn[ci]
+                            ),
+                        )
+                        lam_dt = lam_dt.at[:, ti].set(lam_ti)
             return v6, lam_dn, lam_dt
 
         # member split-impulse pass (after the floor pass; the two row sets
@@ -1342,7 +1383,7 @@ def _physics_step_impl(
                 jt, dv_t, jnp.zeros_like(dv_t), jnp.zeros((n_pair, k, 2)),
                 jnp.zeros((n_pair, k, 2)), jnp.zeros((n_pair, k, 2)), ie_t,
             ).reshape(n_pair * k * 2, -1)
-            n_dyn = _n_dyn_pairs(model)
+            n_dyn = _n_dyn_contacts(model)
             if n_dyn:
                 all_rows = jnp.concatenate(
                     [joint_packed, normal_packed, member_normal,

@@ -162,6 +162,12 @@ class PhysicsModel:
     solver: str = "xla"
     # member-member (dyn-dyn) SAT contacts (both backends)
     member_contacts: bool = True
+    # manifold points per dyn pair: the K deepest proxy-hull vertices of
+    # either body in the other (Bullet keeps up-to-4-point persistent
+    # manifolds per convex-convex pair, item.cpp:17-52 via GJK/EPA +
+    # incident-face clipping; K penetrating corner vertices represent the
+    # same face-face patch). K=1 reproduces the round-2 single-point contact.
+    member_manifold_k: int = 4
     # strict-Bullet configuration for parity runs (engine.py module docstring
     # lists the default-mode divergences this flag removes):
     # - limit-row correction velocity uncapped (Bullet applies no cap)

@@ -171,3 +171,60 @@ def test_batched_vmap_matches_single():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+@pytest.mark.parametrize("solver", ["xla", "pallas"])
+def test_box_rests_on_member_stack(solver):
+    """A box resting ON a dynamic member must sit still for 300 steps.
+
+    This needs a multi-point member-member manifold: a single contact point
+    leaves the torque about that point unconstrained and the box rocks/tips
+    (Bullet keeps up-to-4-point persistent manifolds per convex pair,
+    item.cpp:17-52). Exercises the K=member_manifold_k SAT manifold on both
+    backends (pallas runs interpret-mode on CPU via one vmapped env)."""
+    import dataclasses
+
+    b = ModelBuilder()
+    cube = get_shape("cube").hull_verts
+    ident = (0.0, 0.0, 0.0, 1.0)
+    b.add_body("floor", cube, (100, 1, 100), 0.0, (0, -1, 0), ident, friction=0.7)
+    # slab member on the floor: top face at 0.25 + 2*margin
+    b.add_body("slab", cube, (1.5, 0.125, 1.5), 4.0, (0, 0.205, 0), ident, friction=0.6)
+    # box centered slightly off the slab's middle, resting on the slab
+    b.add_body("box", cube, (0.25, 0.25, 0.25), 1.0, (0.2, 0.785, 0.1), ident, friction=0.6)
+    model = dataclasses.replace(b.finalize(), solver=solver)
+    assert model.member_manifold_k >= 4  # default manifold size under test
+
+    if solver == "pallas":
+        state0 = jax.tree.map(lambda x: x[None], init_state(model))
+        tgt = jnp.zeros((1, 0))
+        en = jnp.ones((1, 0), bool)
+
+        @jax.jit
+        def run(state):
+            def body(state, _):
+                state, _ = jax.vmap(
+                    lambda s, t, e: physics_step(model, s, t, e, DT)
+                )(state, tgt, en)
+                return state, None
+
+            return jax.lax.scan(body, state, None, length=300)[0]
+
+        state = jax.tree.map(lambda x: x[0], run(state0))
+    else:
+        state, _ = _step_n(model, init_state(model), 300)
+
+    pos = np.asarray(state.pos)
+    quat = np.asarray(state.quat)
+    lin = np.asarray(state.lin_vel)
+    ang = np.asarray(state.ang_vel)
+    # box (body 2) is still on top of the slab, upright, at rest
+    # (rest height: slab top 0.33 + two hull margins 0.08 + half-extent 0.25)
+    assert 0.60 < pos[2, 1] < 0.72, pos[2]
+    assert abs(pos[2, 0] - 0.2) < 0.05 and abs(pos[2, 2] - 0.1) < 0.05, pos[2]
+    assert abs(quat[2, 3]) > 0.995, quat[2]  # no tipping
+    assert np.all(np.abs(lin[2]) < 0.05), lin[2]
+    assert np.all(np.abs(ang[2]) < 0.2), ang[2]
+    # slab stayed put too
+    assert abs(pos[1, 0]) < 0.05 and abs(pos[1, 2]) < 0.05, pos[1]
+    assert abs(quat[1, 3]) > 0.995, quat[1]

@@ -10,7 +10,7 @@ from evomotion_tpu.envs.robot import RobotWalk
 from evomotion_tpu.physics import engine
 from evomotion_tpu.physics.engine import (
     build_joint_rows, detect_contacts, physics_step, _pack_rows, init_state,
-    _get_pallas_solver, n_manifold_pairs, _n_dyn_pairs, _member_contact_rows,
+    _get_pallas_solver, n_manifold_pairs, _n_dyn_contacts, _member_contact_rows,
 )
 from evomotion_tpu.physics import maths
 

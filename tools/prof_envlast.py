@@ -74,7 +74,7 @@ print(f"env-last build:    {t_build*1e3:8.3f} ms")
 
 # 4. kernel alone (fixed random rows, env-last layout)
 n_pair = E.n_manifold_pairs(m)
-n_dyn = E._n_dyn_pairs(m)
+n_dyn = E._n_dyn_contacts(m)
 k = 4
 n_full = m.n_rows + n_pair * k + n_dyn + n_pair * k * 2 + n_dyn * 2
 nr_pad = B._round_rows(n_full, 8)

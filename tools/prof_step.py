@@ -90,7 +90,7 @@ phase(
     lambda p, q: B.build_joint_rows(m, p, q, iinv_of(p, q), mtl, mel, 1 / 60)[0].sum(),
     pos, quat,
 )
-if members and E._n_dyn_pairs(m):
+if members and E._n_dyn_contacts(m):
     phase(
         "  member narrowphase:",
         lambda p, q: sum(x.sum() for x in B._dyn_narrowphase(m, p, q)),
@@ -107,7 +107,7 @@ if members and E._n_dyn_pairs(m):
 
 # kernel alone (fixed random rows, env-last layout)
 n_pair = E.n_manifold_pairs(m)
-n_dyn = E._n_dyn_pairs(m)
+n_dyn = E._n_dyn_contacts(m)
 k = 4
 n_full = m.n_rows + n_pair * k + n_dyn + n_pair * k * 2 + n_dyn * 2
 nr_pad = B._round_rows(n_full, 8)
