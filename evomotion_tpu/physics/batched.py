@@ -175,10 +175,12 @@ def _ang_rows(dirs):
     return jnp.stack([zeros, dirs, zeros, -dirs], axis=-3)
 
 
-def _pack(j, dv_a, dv_b, rhs, lo, hi, inv_eff, rhs_push=None):
-    """Pack one kind's rows into [n, ROW_FP, B].
+def _pack(j, rhs, lo, hi, rhs_push=None):
+    """Pack one kind's rows into the slim [n, ROW_SLIM, B] layout.
 
-    j [n, 4, 3, B]; dv [n, 2, 3, B]; scalars [n, B]. rhs_push fills the
+    j [n, 4, 3, B]; scalars [n, B]. Minv*J^T and 1/eff are recomputed
+    in-kernel (solver_pallas.ROW_SLIM); row gating is folded into J by the
+    callers (zeroed J -> eff 0 -> ie 0 -> no-op row). rhs_push fills the
     split-impulse column of contact normal rows (zero elsewhere)."""
     n, _, _, b = j.shape
     if rhs_push is None:
@@ -186,17 +188,15 @@ def _pack(j, dv_a, dv_b, rhs, lo, hi, inv_eff, rhs_push=None):
     return jnp.concatenate(
         [
             j.reshape(n, 12, b),
-            dv_a.reshape(n, 6, b),
-            dv_b.reshape(n, 6, b),
-            rhs[:, None], lo[:, None], hi[:, None], inv_eff[:, None],
-            rhs_push[:, None],
+            rhs[:, None], lo[:, None], hi[:, None], rhs_push[:, None],
         ],
         axis=1,
     )
 
 
 def _finish_dv(model, idx_a, idx_b, j, iinv_world):
-    """Minv*J and 1/(J Minv J^T) for flat rows j [NR, 4, 3, B]."""
+    """Minv*J for flat rows j [NR, 4, 3, B] (warm-start application only —
+    the solver recomputes dv in-kernel from the slim layout)."""
     inv_m_a = jnp.asarray(model.inv_mass[idx_a])[:, None, None]
     inv_m_b = jnp.asarray(model.inv_mass[idx_b])[:, None, None]
     ii_a = iinv_world[idx_a]  # [NR, 3, 3, B]
@@ -205,16 +205,9 @@ def _finish_dv(model, idx_a, idx_b, j, iinv_world):
     dva_ang = jnp.einsum("rijn,rjn->rin", ii_a, j[:, 1])
     dvb_lin = inv_m_b * j[:, 2]
     dvb_ang = jnp.einsum("rijn,rjn->rin", ii_b, j[:, 3])
-    eff = (
-        jnp.sum(j[:, 0] * dva_lin, -2)
-        + jnp.sum(j[:, 1] * dva_ang, -2)
-        + jnp.sum(j[:, 2] * dvb_lin, -2)
-        + jnp.sum(j[:, 3] * dvb_ang, -2)
-    )
-    inv_eff = jnp.where(eff > 1e-12, 1.0 / jnp.maximum(eff, 1e-12), 0.0)
     dv_a = jnp.stack([dva_lin, dva_ang], axis=1)
     dv_b = jnp.stack([dvb_lin, dvb_ang], axis=1)
-    return dv_a, dv_b, inv_eff
+    return dv_a, dv_b
 
 
 def build_joint_rows(model: PhysicsModel, pos, quat, iinv_world, motor_target,
@@ -400,9 +393,7 @@ def build_joint_rows(model: PhysicsModel, pos, quat, iinv_world, motor_target,
     else:
         j = jnp.zeros((0, 4, 3, b))
         rhs = lo = hi = jnp.zeros((0, b))
-    idx_a, idx_b = E._static_row_bodies(model)
-    dv_a, dv_b, inv_eff = _finish_dv(model, idx_a, idx_b, j, iinv_world)
-    packed = _pack(j, dv_a, dv_b, rhs, lo, hi, inv_eff)
+    packed = _pack(j, rhs, lo, hi)
     return packed, slider_lin_pos
 
 
@@ -589,35 +580,20 @@ def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel, iinv_
 
     rel_a = point - pos[ia]
     rel_b = point - pos[ib]
-    inv_m_a = jnp.asarray(model.inv_mass[ia])[:, None, None]
-    inv_m_b = jnp.asarray(model.inv_mass[ib])[:, None, None]
-    ii_a = iinv_world[ia]
-    ii_b = iinv_world[ib]
 
     def rows_for(d):
+        # gating folds into J (slim layout: zeroed J -> no-op row)
         ja_ang = _cross(rel_a, d)
         jb_ang = -_cross(rel_b, d)
-        j = jnp.stack([d, ja_ang, -d, jb_ang], axis=1)  # [NDP, 4, 3, B]
-        dva = jnp.stack(
-            [inv_m_a * d, jnp.einsum("pijn,pjn->pin", ii_a, ja_ang)], axis=1
-        )
-        dvb = jnp.stack(
-            [-inv_m_b * d, jnp.einsum("pijn,pjn->pin", ii_b, jb_ang)], axis=1
-        )
-        eff = (
-            jnp.sum(j[:, 0] * dva[:, 0], -2) + jnp.sum(j[:, 1] * dva[:, 1], -2)
-            + jnp.sum(j[:, 2] * dvb[:, 0], -2) + jnp.sum(j[:, 3] * dvb[:, 1], -2)
-        )
-        inv_eff = jnp.where(eff > 1e-12, 1.0 / jnp.maximum(eff, 1e-12), 0.0)
-        return j, dva, dvb, inv_eff
+        return jnp.stack([d, ja_ang, -d, jb_ang], axis=1) * act[:, None, None]
 
     ndc = len(dp) * kd
-    jn_m, dva_n, dvb_n, ie_n = rows_for(n)
+    jn_m = rows_for(n)
     rhs_n = jnp.where(gap > 0, -gap / dt, 0.0)
     rhs_push = jnp.where(gap < 0, -gap * E.ERP2 / dt, 0.0)
     zeros = jnp.zeros((ndc, b))
     inf_ = jnp.full((ndc, b), jnp.inf)
-    normal_rows = _pack(jn_m, dva_n, dvb_n, rhs_n, zeros, inf_, ie_n * act, rhs_push)
+    normal_rows = _pack(jn_m, rhs_n, zeros, inf_, rhs_push)
 
     rel_vel = (
         lin_vel[ia] + _cross(ang_vel[ia], rel_a)
@@ -626,9 +602,8 @@ def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel, iinv_
     t1, t2, t2_en = _friction_dirs(n, rel_vel, model.strict_bullet)
     fr = []
     for ti, d in enumerate((t1, t2)):
-        jt, dva_t, dvb_t, ie_t = rows_for(d)
         en = 1.0 if ti == 0 else t2_en
-        fr.append(_pack(jt, dva_t, dvb_t, zeros, zeros, zeros, ie_t * act * en))
+        fr.append(_pack(rows_for(d) * en, zeros, zeros, zeros))
     friction_rows = jnp.stack(fr, axis=1).reshape(ndc * 2, -1, b)
     return normal_rows, friction_rows
 
@@ -688,7 +663,9 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
 
     vel6 = jnp.concatenate([lin_vel, ang_vel], axis=1)  # [NB, 6, B]
 
-    # joint warm starting (strict mode; mirrors engine._physics_step_impl)
+    # joint warm starting (strict mode; mirrors engine._physics_step_impl).
+    # The slim rows no longer carry dv, so compute Minv*J^T here (strict
+    # runs only; the default path skips this entirely).
     if model.strict_bullet and nrj:
         jl0 = joint_lambda * E.WARMSTART  # [NRJ, B]
         ja_np, jb_np = E._static_row_bodies(model)
@@ -696,9 +673,10 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
         oh_jb = np.zeros((nrj, model.n_bodies), np.float32)
         oh_ja[np.arange(nrj), ja_np] = 1.0
         oh_jb[np.arange(nrj), jb_np] = 1.0
-        # joint_packed holds dv_a at cols 12:18 and dv_b at 18:24
-        dva = joint_packed[:, 12:18] * jl0[:, None]
-        dvb = joint_packed[:, 18:24] * jl0[:, None]
+        j_flat = joint_packed[:, :12].reshape(nrj, 4, 3, b)
+        dv_a_j, dv_b_j = _finish_dv(model, ja_np, jb_np, j_flat, iinv_world)
+        dva = dv_a_j.reshape(nrj, 6, b) * jl0[:, None]
+        dvb = dv_b_j.reshape(nrj, 6, b) * jl0[:, None]
         vel6 = vel6 + (
             jnp.einsum("rb,rin->bin", jnp.asarray(oh_ja), dva)
             + jnp.einsum("rb,rin->bin", jnp.asarray(oh_jb), dvb)
@@ -722,58 +700,52 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
         ii = iinv_world[body_np]  # [NP, 3, 3, B]
 
         def contact_rows(d):
+            # J gated by the active flag (slim layout); dv is returned gated
+            # too — it is only used for warm-start application, where
+            # inactive contacts carry zero warm impulse anyway
             j_ang = _cross(r_a, d)
             zeros = jnp.zeros_like(d)
-            j = jnp.stack([d, j_ang, zeros, zeros], axis=2)  # [NP, K, 4, 3, B]
-            dv_lin = inv_m * d
-            dv_ang = jnp.einsum("pijn,pkjn->pkin", ii, j_ang)
-            eff = jnp.sum(d * dv_lin, -2) + jnp.sum(j_ang * dv_ang, -2)
-            ie = jnp.where(eff > 1e-12, 1.0 / jnp.maximum(eff, 1e-12), 0.0)
+            gate = actf[:, :, None]
+            j = jnp.stack(
+                [d * gate, j_ang * gate, zeros, zeros], axis=2
+            )  # [NP, K, 4, 3, B]
+            dv_lin = inv_m * j[:, :, 0]
+            dv_ang = jnp.einsum("pijn,pkjn->pkin", ii, j[:, :, 1])
             dv = jnp.stack([dv_lin, dv_ang], axis=2)  # [NP, K, 2, 3, B]
-            return j, dv, ie
+            return j, dv
 
-        jn, dv_n, ie_n = contact_rows(n_k)
-        jt1, dv_t1, ie_t1 = contact_rows(t1)
-        jt2, dv_t2, ie_t2 = contact_rows(t2)
-        ie_t2 = ie_t2 * t2_en
+        jn, dv_n = contact_rows(n_k)
+        jt1, dv_t1 = contact_rows(t1)
+        jt2, dv_t2 = contact_rows(t2)
+        jt2 = jt2 * t2_en
+        dv_t2 = dv_t2 * t2_en
         rhs_n = jnp.where(gap_k > 0, -gap_k / dt, 0.0)
         rhs_push = jnp.where(gap_k < 0, -gap_k * E.ERP2 / dt, 0.0)
         zeros_pk = jnp.zeros((n_pair, k, b))
         inf_pk = jnp.full((n_pair, k, b), jnp.inf)
-        dvz = jnp.zeros_like(dv_n)
 
-        def pack_pk(j, dv, rhs, lo, hi, ie, rhs_push=None):
-            return _pack(
-                j.reshape(n_pair * k, 4, 3, b), dv.reshape(n_pair * k, 2, 3, b),
-                dvz.reshape(n_pair * k, 2, 3, b), rhs.reshape(-1, b),
-                lo.reshape(-1, b), hi.reshape(-1, b), ie.reshape(-1, b),
-                None if rhs_push is None else rhs_push.reshape(-1, b),
-            )
-
-        normal_packed = pack_pk(
-            jn, dv_n, rhs_n, zeros_pk, inf_pk, ie_n * actf, rhs_push
+        normal_packed = _pack(
+            jn.reshape(n_pair * k, 4, 3, b), rhs_n.reshape(-1, b),
+            zeros_pk.reshape(-1, b), inf_pk.reshape(-1, b),
+            rhs_push.reshape(-1, b),
         )
         jt = jnp.stack([jt1, jt2], axis=2)  # [NP, K, 2, 4, 3, B]
-        dv_t = jnp.stack([dv_t1, dv_t2], axis=2)
-        ie_t = jnp.stack([ie_t1 * actf, ie_t2 * actf], axis=2)
         friction_packed = _pack(
             jt.reshape(n_pair * k * 2, 4, 3, b),
-            dv_t.reshape(n_pair * k * 2, 2, 3, b),
-            jnp.zeros((n_pair * k * 2, 2, 3, b)),
             jnp.zeros((n_pair * k * 2, b)), jnp.zeros((n_pair * k * 2, b)),
-            jnp.zeros((n_pair * k * 2, b)), ie_t.reshape(-1, b),
+            jnp.zeros((n_pair * k * 2, b)),
         )
     else:
-        normal_packed = jnp.zeros((0, sp.ROW_FP, b))
-        friction_packed = jnp.zeros((0, sp.ROW_FP, b))
+        normal_packed = jnp.zeros((0, sp.ROW_SLIM, b))
+        friction_packed = jnp.zeros((0, sp.ROW_SLIM, b))
 
     if n_dyn:
         member_normal, member_friction = _member_contact_rows(
             model, pos, quat, lin_vel, ang_vel, iinv_world, dt
         )
     else:
-        member_normal = jnp.zeros((0, sp.ROW_FP, b))
-        member_friction = jnp.zeros((0, sp.ROW_FP, b))
+        member_normal = jnp.zeros((0, sp.ROW_SLIM, b))
+        member_friction = jnp.zeros((0, sp.ROW_SLIM, b))
 
     vel6_flat = vel6.reshape(model.n_bodies * 6, b)
 
@@ -798,7 +770,7 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
     nr_pad = _round_rows(n_full, chunk)
     parts = [joint_packed, normal_packed, member_normal, friction_packed, member_friction]
     if nr_pad != n_full:
-        parts.append(jnp.zeros((nr_pad - n_full, sp.ROW_FP, b)))
+        parts.append(jnp.zeros((nr_pad - n_full, sp.ROW_SLIM, b)))
     all_rows = jnp.concatenate(parts, 0)
     lam0 = jnp.concatenate(
         [
@@ -814,9 +786,10 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
     idx6_a, idx6_b, parent, mu, kind_arr, skip_b = E._solver_meta(
         model, "full", n_pair, n_dyn
     )
-    vel_out, lam_all, push6 = sp.solver_sweep_envlast(
-        all_rows, vel6_flat, lam0, idx6_a, idx6_b, parent, mu,
-        model.n_iterations, n_full, kind=kind_arr, skip_b=skip_b,
+    iinv9 = iinv_world.reshape(model.n_bodies * 9, b)
+    vel_out, lam_all, push6 = sp.solver_sweep_envlast_slim(
+        all_rows, vel6_flat, lam0, iinv9, model.inv_mass, idx6_a, idx6_b,
+        parent, mu, model.n_iterations, n_full, kind=kind_arr, skip_b=skip_b,
         chunk=chunk, interpret=interpret,
     )
 

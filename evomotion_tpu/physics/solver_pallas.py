@@ -46,6 +46,17 @@ _J0, _DVA, _DVB, _RHS, _LO, _HI, _IEF = 0, 12, 18, 24, 25, 26, 27
 ROW_FP = 29
 _RHSP = 28
 
+# slim env-last layout: j (12) + rhs, lo, hi, rhs_push. Minv*J^T and
+# 1/(J Minv J^T) are recomputed in-kernel from a VMEM-resident world
+# inverse-inertia tile + static per-row inverse masses: the sweep streams the
+# row array from HBM once PER SOLVER ITERATION, so its width is the kernel's
+# bandwidth bill (29 -> 16 floats = -45%), and the builder no longer
+# materializes dv/inv_eff at all. Row gating (contact active flags, disabled
+# friction dirs) is folded into J: a zeroed J gives eff = 0 -> ie = 0 ->
+# delta = 0, identical to the old ie*act convention.
+ROW_SLIM = 16
+_SRHS, _SLO, _SHI, _SRHSP = 12, 13, 14, 15
+
 LANE = 128
 SUB = 8
 TILE = SUB * LANE  # envs per grid step
@@ -441,6 +452,233 @@ def _sweep_kernel_envlast(
     jax.lax.fori_loop(0, n_iters, iter_body, 0)
 
     push_out[...] = pv[...]
+
+    for w in range(n_buf - 1):
+        dma(w, w).wait()
+
+
+def solver_sweep_envlast_slim(
+    row_data: jnp.ndarray,  # [NR_pad, ROW_SLIM, B] — env axis LAST
+    vel6: jnp.ndarray,  # [NB*6, B]
+    lam0: jnp.ndarray,  # [NR_pad, B]
+    iinv9: jnp.ndarray,  # [NB*9, B] world inverse inertia, row-major 3x3
+    inv_mass: np.ndarray,  # [NB] static
+    idx6_a: np.ndarray,
+    idx6_b: np.ndarray,
+    parent: np.ndarray,
+    mu: np.ndarray,
+    n_iters: int,
+    n_rows: int,
+    kind: np.ndarray | None = None,
+    skip_b: np.ndarray | None = None,
+    chunk: int = 8,
+    n_buf: int = 4,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Slim-row variant of :func:`solver_sweep_envlast` (see ROW_SLIM note).
+
+    Numerics match the fat layout: dv_a/dv_b = Minv J^T and
+    ie = 1/(J Minv J^T) are evaluated in-kernel with the same formula and
+    guard the builder used (order of adds differs -> float error ~1e-7 rel).
+    Returns (vel6', lam', push_vel6)."""
+    nr_pad, _, b = row_data.shape
+    nb6 = vel6.shape[0]
+    assert row_data.shape[1] == ROW_SLIM, row_data.shape
+    assert b % TILE == 0, f"batch {b} must be a multiple of {TILE}"
+    assert nr_pad % (chunk * n_buf) == 0, (nr_pad, chunk, n_buf)
+    g = b // TILE
+    n_chunks = nr_pad // chunk
+
+    nr = n_rows
+    if kind is None:
+        kind = np.where(parent >= 0, KIND_FRICTION, KIND_JOINT)
+    if skip_b is None:
+        skip_b = np.zeros(nr, dtype=bool)
+    push_slot = np.where(
+        kind[:nr] == KIND_NORMAL, np.cumsum(kind[:nr] == KIND_NORMAL) - 1, -1
+    )
+    n_push = max(int((kind[:nr] == KIND_NORMAL).sum()), 1)
+    meta = tuple(
+        (int(idx6_a[i]), int(idx6_b[i]), int(kind[i]), float(mu[i]),
+         int(parent[i]), bool(skip_b[i]), int(push_slot[i]),
+         float(inv_mass[idx6_a[i] // 6]), float(inv_mass[idx6_b[i] // 6]))
+        for i in range(nr)
+    )
+
+    rd = row_data.reshape(nr_pad, ROW_SLIM, g, SUB, LANE)
+    v = jnp.transpose(vel6.reshape(nb6, g, SUB, LANE), (1, 0, 2, 3))
+    l0 = jnp.transpose(lam0.reshape(nr_pad, g, SUB, LANE), (1, 0, 2, 3))
+    ii = jnp.transpose(iinv9.reshape(nb6 // 6 * 9, g, SUB, LANE), (1, 0, 2, 3))
+
+    def kernel(row_r, vel_r, lam_r, ii_r, velo_r, lamo_r, pvo_r, buf, plam, sem):
+        _sweep_kernel_envlast_slim(
+            row_r, vel_r.at[0], lam_r.at[0], ii_r.at[0], velo_r.at[0],
+            lamo_r.at[0], pvo_r.at[0], buf, plam, sem,
+            meta=meta, n_iters=n_iters, chunk=chunk, n_chunks=n_chunks,
+            n_buf=n_buf,
+        )
+
+    nb9 = nb6 // 6 * 9
+    # VMEM budget at large row counts (K=4 member manifolds -> ~1.9k rows,
+    # lam tile ~7.9 MB x in+out = ~24 MB scoped): the push-velocity output
+    # doubles as its own accumulator (no pv scratch) and the kernel raises
+    # Mosaic's per-kernel VMEM ceiling — the 16 MB default is a compiler
+    # reservation, not the chip's 128 MB physical VMEM.
+    vel_out, lam_out, push_out = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((g, nb6, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((g, nr_pad, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((g, nb6, SUB, LANE), jnp.float32),
+        ],
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # rows stay in HBM
+            pl.BlockSpec(
+                (1, nb6, SUB, LANE), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nr_pad, SUB, LANE), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nb9, SUB, LANE), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, nb6, SUB, LANE), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nr_pad, SUB, LANE), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, nb6, SUB, LANE), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_buf, chunk, ROW_SLIM, SUB, LANE), jnp.float32),
+            pltpu.VMEM((n_push, SUB, LANE), jnp.float32),  # push impulses
+            pltpu.SemaphoreType.DMA((n_buf,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(rd, v, l0, ii)
+
+    return (
+        jnp.transpose(vel_out, (1, 0, 2, 3)).reshape(nb6, b),
+        jnp.transpose(lam_out, (1, 0, 2, 3)).reshape(nr_pad, b),
+        jnp.transpose(push_out, (1, 0, 2, 3)).reshape(nb6, b),
+    )
+
+
+def _sweep_kernel_envlast_slim(
+    row_hbm,  # [NR_pad, ROW_SLIM, G, SUB, LANE] in ANY/HBM
+    vel_in, lam_in, ii_in, vel_out, lam_out, pv, # VMEM tile views
+    buf, plam, sem,
+    *, meta, n_iters, chunk, n_chunks, n_buf,
+):
+    """Slim-row sweep: streams 16 floats/row, recomputes dv and 1/eff from
+    the VMEM inverse-inertia tile (ii_in, [NB*9, SUB, LANE]) and static
+    per-row inverse masses. Otherwise identical in structure to
+    :func:`_sweep_kernel_envlast` (fused velocity + split-impulse passes).
+    vel/lam inputs are aliased onto the outputs and the push-velocity output
+    (pv) doubles as its own accumulator — VMEM budget, see the caller."""
+    tile = pl.program_id(0)
+
+    vel_out[...] = vel_in[...]
+    lam_out[...] = lam_in[...]
+    pv[...] = jnp.zeros_like(pv[...])
+    plam[...] = jnp.zeros_like(plam[...])
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            row_hbm.at[pl.ds(c * chunk, chunk), :, tile], buf.at[slot], sem.at[slot]
+        )
+
+    for w in range(n_buf - 1):
+        dma(w, w).start()
+
+    def matvec(ii, jang):
+        # [9, SUB, LANE] row-major 3x3 times [3, SUB, LANE]
+        return jnp.stack(
+            [
+                ii[0] * jang[0] + ii[1] * jang[1] + ii[2] * jang[2],
+                ii[3] * jang[0] + ii[4] * jang[1] + ii[5] * jang[2],
+                ii[6] * jang[0] + ii[7] * jang[1] + ii[8] * jang[2],
+            ],
+            axis=0,
+        )
+
+    def iter_body(_, carry):
+        for c in range(n_chunks):
+            nxt = (c + n_buf - 1) % n_chunks
+            dma(nxt % n_buf, nxt).start()
+            dma(c % n_buf, c).wait()
+            slot = c % n_buf
+            for r in range(chunk):
+                rid = c * chunk + r
+                if rid >= len(meta):
+                    continue
+                (ia6, ib6, kind_r, mu_r, parent_r, skip_b_r, pslot,
+                 im_a, im_b) = meta[rid]
+                rd = buf[slot, r]  # [ROW_SLIM, SUB, LANE]
+                ia9 = ia6 // 6 * 9
+
+                dva = jnp.concatenate(
+                    [im_a * rd[0:3], matvec(ii_in[ia9:ia9 + 9], rd[3:6])], axis=0
+                )  # [6, SUB, LANE]
+                eff = jnp.sum(rd[0:6] * dva, axis=0)
+                va = vel_out[ia6:ia6 + 6]
+                jv = jnp.sum(rd[0:6] * va, axis=0)
+                if not skip_b_r:
+                    ib9 = ib6 // 6 * 9
+                    dvb = jnp.concatenate(
+                        [im_b * rd[6:9], matvec(ii_in[ib9:ib9 + 9], rd[9:12])],
+                        axis=0,
+                    )
+                    eff = eff + jnp.sum(rd[6:12] * dvb, axis=0)
+                    vb = vel_out[ib6:ib6 + 6]
+                    jv = jv + jnp.sum(rd[6:12] * vb, axis=0)
+                ie = jnp.where(eff > 1e-12, 1.0 / jnp.maximum(eff, 1e-12), 0.0)
+
+                lam_r = lam_out[rid]
+                cand = lam_r + (rd[_SRHS] - jv) * ie
+                if kind_r == KIND_JOINT:
+                    new_l = jnp.clip(cand, rd[_SLO], rd[_SHI])
+                elif kind_r == KIND_NORMAL:
+                    new_l = jnp.maximum(cand, 0.0)
+                else:
+                    lim = mu_r * lam_out[parent_r]
+                    new_l = jnp.clip(cand, -lim, lim)
+                d = new_l - lam_r
+                lam_out[rid] = new_l
+                vel_out[ia6:ia6 + 6] = va + dva * d[None]
+                if not skip_b_r:
+                    vel_out[ib6:ib6 + 6] = vb + dvb * d[None]
+
+                if pslot >= 0:
+                    # split-impulse position pass on the same row data
+                    pva = pv[ia6:ia6 + 6]
+                    jvp = jnp.sum(rd[0:6] * pva, axis=0)
+                    if not skip_b_r:
+                        pvb = pv[ib6:ib6 + 6]
+                        jvp = jvp + jnp.sum(rd[6:12] * pvb, axis=0)
+                    pl_r = plam[pslot]
+                    new_pl = jnp.maximum(pl_r + (rd[_SRHSP] - jvp) * ie, 0.0)
+                    dp = new_pl - pl_r
+                    plam[pslot] = new_pl
+                    pv[ia6:ia6 + 6] = pva + dva * dp[None]
+                    if not skip_b_r:
+                        pv[ib6:ib6 + 6] = pvb + dvb * dp[None]
+        return carry
+
+    jax.lax.fori_loop(0, n_iters, iter_body, 0)
 
     for w in range(n_buf - 1):
         dma(w, w).wait()
