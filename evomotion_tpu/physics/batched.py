@@ -513,7 +513,11 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
             + hz * nrot[:, None, :, 2, :]
             + doff[:, None]
         )  # [P, V, F, B] — broadcast feeding the reduce; fused by XLA
+        # supporting face per vertex comes out of the SAME fused reduce
+        # (max + argmax over F); the per-k selection below then only gathers
+        # it — no [P, F, B] face re-scan per manifold point
         dist = jnp.max(d, axis=2)  # [P, V, B]
+        fid = jnp.argmax(d, axis=2).astype(jnp.float32)  # [P, V, B]
         dist = jnp.where(jnp.asarray(hmask[widx])[:, :, None] > 0, dist, 1e9)
 
         pts, nrms, gaps = [], [], []
@@ -524,9 +528,8 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
             ohv = (iota_v == v_id[:, None]).astype(jnp.float32)  # [P, V, B]
             hsel = jnp.einsum("pvn,pvj->pjn", ohv, jnp.asarray(hw))  # [P, 3, B]
             pts.append(pos[widx] + _qrot(quat[widx], hsel))  # world
-            d2 = jnp.sum(nrot * hsel[:, None], axis=-2) + doff  # [P, F, B]
-            f_sel = jnp.argmax(d2, axis=1)
-            ohf = (iota_f == f_sel[:, None]).astype(jnp.float32)
+            f_sel = jnp.sum(ohv * fid, axis=1)  # [P, B]
+            ohf = (iota_f == f_sel[:, None].astype(jnp.int32)).astype(jnp.float32)
             nl_sel = jnp.einsum("pfn,pfj->pjn", ohf, nl)  # F-local face normal
             nrms.append(_qrot(quat[fidx], nl_sel))  # world
             g = jnp.where(ohv > 0, 1e9, g)

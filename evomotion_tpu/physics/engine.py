@@ -750,13 +750,13 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
         hw = jnp.asarray(hull[widx])  # [P, V, 3]
         d = jnp.einsum("pvj,pfj->pvf", hw, nrot) + doff[:, None]
         dist = jnp.max(d, -1)  # [P, V]
+        fid = jnp.argmax(d, -1)  # supporting face per vertex [P, V]
         dist = jnp.where(jnp.asarray(hmask[widx]) > 0, dist, 1e9)
         neg, v_id = jax.lax.top_k(-dist, kd)  # K deepest vertices [P, K]
         gap = -neg
         hsel = jnp.take_along_axis(hw, v_id[..., None], 1)  # [P, K, 3]
         pt = pos[widx][:, None] + maths.quat_rotate(quat[widx][:, None], hsel)
-        d2 = jnp.sum(nrot[:, None] * hsel[:, :, None], -1) + doff[:, None]  # [P, K, F]
-        f_sel = jnp.argmax(d2, -1)  # supporting face per selected vertex
+        f_sel = jnp.take_along_axis(fid, v_id, 1)  # [P, K]
         nl_sel = jnp.take_along_axis(
             jnp.asarray(nl), f_sel[..., None], 1
         )  # [P, K, 3]
