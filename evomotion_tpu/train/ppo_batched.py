@@ -50,6 +50,18 @@ class PpoConfig:
     clip_grad_norm: float = 0.5
     horizon: int = 64  # rollout length T per train iteration
     n_envs: int = 1024
+    # entropy-bonus decay: factor = entropy_factor * (entropy_end /
+    # entropy_factor) ** min(it / entropy_steps, 1) — the reference's
+    # exponential_decrease schedule (functions.cpp, used by its A2C agents;
+    # its PPO keeps the factor fixed, which leaves sigma high and makes the
+    # policy lean on sampling noise: the greedy-mu policy then fails the
+    # velocity time bank). entropy_steps <= 0 disables the decay.
+    entropy_end: float = 1e-4
+    entropy_steps: int = 0
+    # running observation normalization (Welford over masked rollout frames;
+    # rollouts and updates both see (obs - mean) / sqrt(var + eps), stats
+    # from the previous iteration). Off by default: the parity config.
+    obs_norm: bool = False
 
 
 class PpoTrainState(NamedTuple):
@@ -61,6 +73,36 @@ class PpoTrainState(NamedTuple):
     obs: jnp.ndarray  # [N, S]
     key: jnp.ndarray
     iteration: jnp.ndarray
+    # running obs-normalization stats (identity when cfg.obs_norm is off)
+    obs_mean: jnp.ndarray  # [S]
+    obs_var: jnp.ndarray  # [S]
+    obs_count: jnp.ndarray  # scalar
+
+
+def normalize_obs(state: PpoTrainState, obs: jnp.ndarray) -> jnp.ndarray:
+    """(obs - mean) / sqrt(var + eps) with the state's running stats; the
+    identity while no frames have been folded in (fresh state, obs_norm off)."""
+    return jnp.where(
+        state.obs_count > 0.5,
+        (obs - state.obs_mean) * jax.lax.rsqrt(state.obs_var + 1e-8),
+        obs,
+    )
+
+
+def _update_obs_stats(state: PpoTrainState, obs, maskf):
+    """Fold masked rollout frames [T, N, S] into the running mean/var
+    (parallel Welford / Chan merge)."""
+    m = maskf[..., 0]  # [T, N]
+    n_b = jnp.maximum(m.sum(), 1.0)
+    w = m[..., None]
+    mean_b = (obs * w).sum((0, 1)) / n_b
+    var_b = (((obs - mean_b) ** 2) * w).sum((0, 1)) / n_b
+    n_a = state.obs_count
+    tot = n_a + n_b
+    delta = mean_b - state.obs_mean
+    mean = state.obs_mean + delta * (n_b / tot)
+    var = (n_a * state.obs_var + n_b * var_b + delta**2 * (n_a * n_b / tot)) / tot
+    return state._replace(obs_mean=mean, obs_var=var, obs_count=tot)
 
 
 class PpoMetrics(NamedTuple):
@@ -83,13 +125,19 @@ def save_train_state(folder: str, state: PpoTrainState) -> None:
 
 
 def load_train_state(folder: str, like: PpoTrainState) -> PpoTrainState:
+    import os
+
     from .checkpoint import load_component
 
+    def load_or_default(name):
+        # fields added after a checkpoint was written (e.g. obs-norm stats)
+        # keep their freshly initialized value
+        if not os.path.exists(os.path.join(folder, f"train_{name}.npz")):
+            return getattr(like, name)
+        return load_component(folder, f"train_{name}", getattr(like, name))
+
     return PpoTrainState(
-        **{
-            name: load_component(folder, f"train_{name}", getattr(like, name))
-            for name in PpoTrainState._fields
-        }
+        **{name: load_or_default(name) for name in PpoTrainState._fields}
     )
 
 
@@ -149,6 +197,7 @@ class BatchedPpo:
         critic_params = critic_init(kc, self.env.observation_size, cfg.hidden_size)
         env_keys = jax.random.split(ke, cfg.n_envs)
         env_state, first = jax.vmap(self.env.reset)(env_keys)
+        s = self.env.observation_size
         return PpoTrainState(
             actor_params=actor_params,
             critic_params=critic_params,
@@ -158,6 +207,9 @@ class BatchedPpo:
             obs=first.obs,
             key=key,
             iteration=jnp.int32(0),
+            obs_mean=jnp.zeros((s,)),
+            obs_var=jnp.ones((s,)),
+            obs_count=jnp.float32(0.0),
         )
 
     def rollout_fn(self):
@@ -169,10 +221,11 @@ class BatchedPpo:
         def rollout(state: PpoTrainState):
             def step(carry, key):
                 env_state, obs = carry
-                mu, sigma = actor_apply(state.actor_params, obs)
+                obs_in = normalize_obs(state, obs) if cfg.obs_norm else obs
+                mu, sigma = actor_apply(state.actor_params, obs_in)
                 action = D.truncated_normal_sample(key, mu, sigma)
                 log_prob = D.truncated_normal_log_pdf(action, mu, sigma)
-                value = critic_apply(state.critic_params, obs)
+                value = critic_apply(state.critic_params, obs_in)
                 env_state, res = env_step(env_state, action)
                 out = (obs, action, log_prob, value, res.reward, res.done, res.valid)
                 return (env_state, res.obs), out
@@ -191,16 +244,31 @@ class BatchedPpo:
         rollout = self.rollout_fn()
 
         def train_step(state: PpoTrainState):
-            state, traj = rollout(state)
+            pre_state = state  # stats the rollout's log_probs/values were
+            state, traj = rollout(state)  # computed under
             obs, actions, log_probs, values, rewards, dones, valids = traj
             # shapes: [T, N, ...]; rewards/dones/valids [T, N].
             # value of an invalid (settling) next step must not leak into the
             # GAE; those boundaries are closed by done=1 at the terminal step.
-            bootstrap = critic_apply(state.critic_params, state.obs)  # [N, 1]
+            if cfg.obs_norm:
+                obs = normalize_obs(pre_state, obs)
+                last_obs = normalize_obs(pre_state, state.obs)
+            else:
+                last_obs = state.obs
+            bootstrap = critic_apply(state.critic_params, last_obs)  # [N, 1]
             advantages, returns, maskf, n = gae_and_normalize(
                 cfg, values, rewards, dones, valids, bootstrap
             )
             n_act = n * actions.shape[-1]
+            if cfg.entropy_steps > 0:
+                frac = jnp.minimum(
+                    state.iteration.astype(jnp.float32) / cfg.entropy_steps, 1.0
+                )
+                ent_factor = cfg.entropy_factor * (
+                    cfg.entropy_end / cfg.entropy_factor
+                ) ** frac  # reference functions.cpp exponential_decrease
+            else:
+                ent_factor = cfg.entropy_factor
 
             def epoch_step(carry, _):
                 a_params, a_opt, c_params, c_opt = carry
@@ -212,7 +280,7 @@ class BatchedPpo:
                     ratios = jnp.exp(lp - log_probs)
                     s1 = ratios * advantages
                     s2 = jnp.clip(ratios, 1.0 - cfg.epsilon, 1.0 + cfg.epsilon) * advantages
-                    obj = jnp.minimum(s1, s2) + cfg.entropy_factor * entropy
+                    obj = jnp.minimum(s1, s2) + ent_factor * entropy
                     return -(obj * maskf).sum() / n_act
 
                 a_loss, a_grads = jax.value_and_grad(actor_loss_fn)(a_params)
@@ -242,6 +310,10 @@ class BatchedPpo:
                 critic_opt_state=c_opt,
                 iteration=state.iteration + 1,
             )
+            if cfg.obs_norm:
+                # fold this rollout's frames in AFTER the update so the next
+                # rollout and its stored log_probs share one normalizer
+                state = _update_obs_stats(state, traj[0], maskf)
             n_done = dones.sum()
             metrics = PpoMetrics(
                 actor_loss=a_losses.mean(),

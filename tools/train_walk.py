@@ -7,6 +7,12 @@ lr 1e-3, entropy 0.01, critic 0.5, grad clip 0.5 — run on the batched tier
 
 Usage:
   python tools/train_walk.py OUTDIR [iters] [n_envs] [seed] [lr] [entropy]
+                             [entropy_steps] [obs_norm]
+
+Round-3 recipe against the greedy-eval gap (VERDICT r2 #3): entropy_steps>0
+decays the entropy bonus exponentially to 1e-4 (reference
+functions.cpp exponential_decrease) so sigma shrinks and mu must carry the
+gait; obs_norm=1 turns on running observation normalization.
 
 Writes OUTDIR/curve.csv rows:
   iter,env_steps,wall_s,r_per_step,ep_return,ep_len,actor_loss,critic_loss,
@@ -29,7 +35,12 @@ import numpy as np
 
 from evomotion_tpu.envs.robot import RobotWalkFactory
 from evomotion_tpu.networks.modules import actor_apply
-from evomotion_tpu.train.ppo_batched import BatchedPpo, PpoConfig, save_train_state
+from evomotion_tpu.train.ppo_batched import (
+    BatchedPpo,
+    PpoConfig,
+    normalize_obs,
+    save_train_state,
+)
 
 OUT = sys.argv[1]
 ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 3000
@@ -37,6 +48,8 @@ N_ENVS = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
 SEED = int(sys.argv[4]) if len(sys.argv) > 4 else 1234
 LR = float(sys.argv[5]) if len(sys.argv) > 5 else 1e-3
 ENT = float(sys.argv[6]) if len(sys.argv) > 6 else 0.01
+ENT_STEPS = int(sys.argv[7]) if len(sys.argv) > 7 else 0
+OBS_NORM = bool(int(sys.argv[8])) if len(sys.argv) > 8 else False
 EVAL_EVERY = 50
 SAVE_EVERY = 250
 EVAL_ENVS = 64
@@ -48,7 +61,7 @@ env = RobotWalkFactory({}).make(SEED, mt_parity=False)
 cfg = PpoConfig(
     hidden_size=256, gamma=0.99, lam=0.95, epsilon=0.2, entropy_factor=ENT,
     critic_loss_factor=0.5, epoch=8, learning_rate=LR, clip_grad_norm=0.5,
-    horizon=64, n_envs=N_ENVS,
+    horizon=64, n_envs=N_ENVS, entropy_steps=ENT_STEPS, obs_norm=OBS_NORM,
 )
 trainer = BatchedPpo(env, cfg, seed=SEED)
 train_step = jax.jit(trainer.train_step_fn())
@@ -61,13 +74,15 @@ eval_step = jax.vmap(env.step)
 
 
 @jax.jit
-def greedy_eval(actor_params, key):
+def greedy_eval(train_state, key):
     ks = jax.random.split(key, EVAL_ENVS)
     est, res = eval_reset(ks)
+    actor_params = train_state.actor_params
 
     def body(carry, _):
         est, obs, alive, steps, ret = carry
-        mu, _ = actor_apply(actor_params, obs)
+        obs_in = normalize_obs(train_state, obs) if OBS_NORM else obs
+        mu, _ = actor_apply(actor_params, obs_in)
         action = jnp.clip(mu, -1.0, 1.0)
         est, res = eval_step(est, action)
         valid = res.valid
@@ -104,7 +119,7 @@ for it in range(1, ITERS + 1):
         glen = gret = gwin = ""
         if it % EVAL_EVERY == 0 or it == 1:
             ekey, sub = jax.random.split(ekey)
-            gl, gr, gw = greedy_eval(state.actor_params, sub)
+            gl, gr, gw = greedy_eval(state, sub)
             glen, gret, gwin = float(gl), float(gr), float(gw)
         steps_done = it * cfg.horizon * N_ENVS
         w.writerow([
