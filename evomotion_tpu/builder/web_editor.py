@@ -1,0 +1,476 @@
+"""Web robot-builder editor: an HTML shell over RobotBuilderEnvironment.
+
+Reference counterpart: the ImGui application + builder windows
+(src/gui/application.cpp:14-331, src/gui/widget/opengl_window.cpp:155-224,
+src/gui/widget/** ~1.5k LoC): member list, new/duplicate/settings windows,
+construct-tools translate gizmo, mouse ray picking with focus highlight
+(gui/context.{h,cpp} ItemFocusContext), robot save/load via the file menu.
+TPU-native reframing: the editor is one self-contained HTML page (same
+zero-dependency software renderer family as viewer/html_viewer.py) served
+next to a JSON API over the EXISTING RobotBuilderEnvironment — every edit
+(add/clone/remove/update/rename, constraints, muscles, save/load) calls the
+same methods the programmatic API exposes, and picking uses the
+environment's own ray_cast_member / ray_cast_constraint
+(robot_builder/environment.cpp:449-518).
+
+Interaction map (reference -> here):
+- BuilderOpenGlWindow mouse ray picking  -> canvas click -> POST /api
+  {"op": "ray_cast_member"} with the camera ray; hit member gets the focus
+  highlight color
+- construct-tools translate gizmo        -> drag with "g" held: moves the
+  selected member in the camera plane (children follow via the server's
+  BFS propagation in update_member)
+- member settings window                 -> side-panel numeric fields ->
+  update_member
+- File > save/load robot                 -> /api save_robot / load_robot
+  (bit-exact JSON codec, round-trip tested)
+"""
+
+from __future__ import annotations
+
+import json
+import traceback
+from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
+
+import numpy as np
+
+
+def _shape_meshes() -> dict:
+    """Unit hull triangle meshes per shape kind (client applies
+    scale/rotation/translation)."""
+    from scipy.spatial import ConvexHull
+
+    from ..physics.shapes import CUBE, CYLINDER, FEET, SPHERE, get_shape
+
+    out = {}
+    for kind in (CUBE, SPHERE, CYLINDER, FEET):
+        pts = np.asarray(get_shape(kind).hull_verts, np.float64)
+        hull = ConvexHull(pts, qhull_options="QJ")
+        tris = []
+        for simplex, eq in zip(hull.simplices, hull.equations):
+            a, b, c = pts[simplex]
+            if np.dot(np.cross(b - a, c - a), eq[:3]) < 0:
+                simplex = simplex[::-1]
+            tris.append([int(x) for x in simplex])
+        out[kind] = {"verts": np.round(pts, 5).tolist(), "tris": tris}
+    return out
+
+
+def editor_state(b) -> dict:
+    """Full robot description for the page (mirrors what the ImGui windows
+    display: member list + transforms, constraints, muscles, root)."""
+
+    def v(x):
+        return np.round(np.asarray(x, float), 6).tolist()
+
+    cons = []
+    for c in b.constraints:
+        kind = b.get_constraint_type(c.name)
+        info = {
+            "name": c.name, "type": kind,
+            "parent": c.parent_name, "child": c.child_name,
+        }
+        cons.append(info)
+    return {
+        "robot_name": b.get_robot_name(),
+        "root": b.get_root_name(),
+        "members": [
+            {
+                "name": m.name, "shape": m.shape, "pos": v(m.translation),
+                "rot": v(m.rotation), "scale": v(m.scale),
+                "mass": round(float(m.mass), 6),
+                "friction": round(float(m.friction), 6),
+                "ignore_collision": bool(m.ignore_collision),
+            }
+            for m in b.members
+        ],
+        "constraints": cons,
+        "muscles": [
+            {"name": m.name, "a": m.item_a, "b": m.item_b} for m in b.muscles
+        ],
+    }
+
+
+def apply_op(b, req: dict) -> dict:
+    """Dispatch one editor operation onto the builder environment."""
+    op = req.get("op")
+    a = req.get("args", {})
+    if op == "ray_cast_member":
+        hit = b.ray_cast_member(a["from"], a["to"])
+        return {"ok": True, "hit": hit}
+    if op == "ray_cast_constraint":
+        hit = b.ray_cast_constraint(a["from"], a["to"])
+        return {"ok": True, "hit": hit}
+    if op == "add_member":
+        ok = b.add_member(
+            a["name"], a.get("shape", "cube"), a.get("pos", (0, 0, 0)),
+            a.get("rot", (0, 0, 0, 1)), a.get("scale", (0.1, 0.1, 0.1)),
+            a.get("mass", 1.0), a.get("friction", 0.5),
+        )
+        return {"ok": bool(ok)}
+    if op == "update_member":
+        ok = b.update_member(
+            a["name"], new_pos=a.get("pos"), new_rot=a.get("rot"),
+            new_scale=a.get("scale"), new_friction=a.get("friction"),
+            new_mass=a.get("mass"),
+            new_ignore_collision=a.get("ignore_collision"),
+        )
+        return {"ok": bool(ok)}
+    if op == "clone":
+        ok = b.clone_body_part(
+            a["name"], a.get("prefix", "copy"), a.get("pos", (0, 0, 0)),
+            a.get("rot", (0, 0, 0, 1)),
+        )
+        return {"ok": bool(ok)}
+    if op == "rename_member":
+        return {"ok": bool(b.rename_member(a["name"], a["new_name"]))}
+    if op == "remove_member":
+        return {"ok": bool(b.remove_member(a["name"]))}
+    if op == "set_root":
+        return {"ok": bool(b.set_root(a["name"]))}
+    if op == "attach_hinge":
+        ok = b.attach_hinge_constraint(
+            a["name"], a["parent"], a["child"], a["pivot"], a["axis"],
+            a.get("limit_min", 1.0), a.get("limit_max", -1.0),
+        )
+        return {"ok": bool(ok)}
+    if op == "attach_fixed":
+        ok = b.attach_fixed_constraint(
+            a["name"], a["parent"], a["child"], a["pos"], a.get("rot", (0, 0, 0, 1))
+        )
+        return {"ok": bool(ok)}
+    if op == "remove_constraint":
+        return {"ok": bool(b.remove_constraint(a["name"]))}
+    if op == "add_muscle":
+        ok = b.add_muscle(
+            a["name"], a["a"], a["b"], a.get("insert_a", (0, 0, 0)),
+            a.get("insert_b", (0, 0, 0)),
+        )
+        return {"ok": bool(ok)}
+    if op == "remove_muscle":
+        return {"ok": bool(b.remove_muscle(a["name"]))}
+    if op == "save_robot":
+        b.save_robot(a["path"])
+        return {"ok": True, "path": a["path"]}
+    if op == "load_robot":
+        b.load_robot(a["path"])
+        return {"ok": True}
+    return {"ok": False, "error": f"unknown op {op}"}
+
+
+def serve_editor(builder, port: int = 8801, max_requests: int | None = None):
+    """Serve the editor at http://localhost:<port>/ (blocking).
+
+    max_requests bounds the single-threaded test path (same pattern as
+    viewer/live.py serve_live after the round-2 deadlock fix)."""
+    page = editor_html()
+    served = {"n": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, body: bytes, ctype: str, code: int = 200):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            served["n"] += 1
+            if self.path == "/robot":
+                state = editor_state(builder)
+                state["meshes"] = _shape_meshes()
+                self._send(json.dumps(state).encode(), "application/json")
+            else:
+                self._send(page.encode(), "text/html")
+
+        def do_POST(self):
+            served["n"] += 1
+            n = int(self.headers.get("Content-Length", "0"))
+            try:
+                req = json.loads(self.rfile.read(n) or b"{}")
+                out = apply_op(builder, req)
+            except Exception as e:  # surface builder errors to the page
+                out = {"ok": False, "error": f"{e}", "trace": traceback.format_exc()}
+            self._send(json.dumps(out).encode(), "application/json")
+
+        def log_message(self, *a):
+            pass
+
+    if max_requests is None:
+        server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        print(f"robot builder: http://localhost:{port}/ (ctrl-c to stop)")
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+    else:
+        server = HTTPServer(("127.0.0.1", port), Handler)
+        server.timeout = 30.0
+        while served["n"] < max_requests:
+            before = served["n"]
+            server.handle_request()
+            if served["n"] == before:
+                break  # timed out: client went away
+    server.server_close()
+    return served["n"]
+
+
+_EDITOR_JS = r"""
+const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
+const W = cv.width, H = cv.height, FOCAL = 1.1*H;
+let ROBOT = null, MESHES = null, selected = null, grabbing = false;
+let cam = {yaw: 0.7, pitch: 0.45, dist: 4.0, target: [0, 0.3, 0]};
+function sub(a,b){return [a[0]-b[0],a[1]-b[1],a[2]-b[2]];}
+function add3(a,b){return [a[0]+b[0],a[1]+b[1],a[2]+b[2]];}
+function mul3(a,s){return [a[0]*s,a[1]*s,a[2]*s];}
+function cross(a,b){return [a[1]*b[2]-a[2]*b[1],a[2]*b[0]-a[0]*b[2],a[0]*b[1]-a[1]*b[0]];}
+function dot(a,b){return a[0]*b[0]+a[1]*b[1]+a[2]*b[2];}
+function norm(a){const l=Math.hypot(a[0],a[1],a[2])||1e-9;return [a[0]/l,a[1]/l,a[2]/l];}
+function qrot(q,v){
+  const u=[q[0],q[1],q[2]], w=q[3];
+  const t=cross(u,v).map(x=>2*x);
+  return [v[0]+w*t[0]+cross(u,t)[0], v[1]+w*t[1]+cross(u,t)[1], v[2]+w*t[2]+cross(u,t)[2]];
+}
+let view = null;
+function camPos(){
+  const cp = Math.cos(cam.pitch), sp = Math.sin(cam.pitch);
+  const cy = Math.cos(cam.yaw), sy = Math.sin(cam.yaw);
+  return add3(cam.target, mul3([cp*cy, sp, cp*sy], cam.dist));
+}
+function mkView(){
+  const p = camPos();
+  const f = norm(sub(cam.target, p));
+  const s = norm(cross(f, [0,1,0]));
+  const u = cross(s, f);
+  view = {p: p, s: s, u: u, f: f};
+}
+function project(v){
+  const d = sub(v, view.p);
+  const x = dot(d, view.s), y = dot(d, view.u), z = dot(d, view.f);
+  if (z < 0.03) return null;
+  return [W/2 + FOCAL*x/z, H/2 - FOCAL*y/z, z];
+}
+function pixelRay(px, py){
+  // inverse of project(): world-space ray through the pixel
+  const dir = norm(add3(add3(mul3(view.s,(px-W/2)/FOCAL), mul3(view.u,-(py-H/2)/FOCAL)), view.f));
+  return {from: view.p, to: add3(view.p, mul3(dir, 100.0))};
+}
+const LIGHT = norm([0.4, 1.0, 0.6]);
+function shade(base, n, vdir, focus){
+  const diff = Math.max(dot(n, LIGHT), 0.0);
+  const h = norm(sub(LIGHT, vdir));
+  const spec = Math.pow(Math.max(dot(n,h),0), 16)*0.5;
+  let c = base.map(x=>Math.min(255, Math.round(255*(0.3*x + 0.7*x*diff) + 255*spec)));
+  if (focus) c = [Math.min(255,c[0]+70), c[1], Math.max(0,c[2]-30)];  // focus highlight
+  return c;
+}
+function memberColor(name){
+  let h = 0;
+  for (const ch of name) h = (h*31 + ch.charCodeAt(0)) % 9973;
+  return [0.35+0.5*((h%7)/7), 0.35+0.5*(((h/7|0)%7)/7), 0.35+0.5*(((h/49|0)%7)/7)];
+}
+function drawGrid(tris){
+  const N=8;
+  for(let i=-N;i<N;i++) for(let j=-N;j<N;j++){
+    const col = ((i+j)&1) ? [46,50,62] : [36,40,50];
+    const quad=[[i,0,j],[i+1,0,j],[i+1,0,j+1],[i,0,j+1]].map(project);
+    if(quad.some(q=>q===null)) continue;
+    tris.push({z:(quad[0][2]+quad[2][2])/2+1e3, pts:quad,
+               col:`rgb(${col[0]},${col[1]},${col[2]})`});
+  }
+}
+function draw(){
+  mkView();
+  ctx.fillStyle = '#10141c'; ctx.fillRect(0,0,W,H);
+  if (!ROBOT) return;
+  const tris = [];
+  drawGrid(tris);
+  for (const m of ROBOT.members){
+    const mesh = MESHES[m.shape];
+    const base = memberColor(m.name);
+    const focus = m.name === selected;
+    const wv = mesh.verts.map(v=>{
+      const sv = [v[0]*m.scale[0], v[1]*m.scale[1], v[2]*m.scale[2]];
+      return add3(qrot(m.rot, sv), m.pos);
+    });
+    const pv = wv.map(project);
+    for (const t of mesh.tris){
+      const [a,b,c] = t;
+      if(!pv[a]||!pv[b]||!pv[c]) continue;
+      const n = norm(cross(sub(wv[b],wv[a]), sub(wv[c],wv[a])));
+      const ctr = mul3(add3(add3(wv[a],wv[b]),wv[c]), 1/3);
+      const vdir = norm(sub(ctr, view.p));
+      if (dot(n, vdir) > 0) continue;
+      const col = shade(base, n, vdir, focus);
+      tris.push({z:(pv[a][2]+pv[b][2]+pv[c][2])/3, pts:[pv[a],pv[b],pv[c]],
+                 col:`rgb(${col[0]},${col[1]},${col[2]})`});
+    }
+  }
+  tris.sort((p,q)=>q.z-p.z);
+  for(const t of tris){
+    ctx.beginPath();
+    ctx.moveTo(t.pts[0][0], t.pts[0][1]);
+    for(let i=1;i<t.pts.length;i++) ctx.lineTo(t.pts[i][0], t.pts[i][1]);
+    ctx.closePath(); ctx.fillStyle = t.col; ctx.fill();
+  }
+  ctx.fillStyle='#9ab'; ctx.font='13px monospace';
+  ctx.fillText(`${ROBOT.robot_name}  members:${ROBOT.members.length} `+
+    `constraints:${ROBOT.constraints.length} muscles:${ROBOT.muscles.length}` +
+    (selected ? `  [${selected}] (drag+g moves it)` : '  (click a member to select)'), 12, 20);
+}
+async function api(op, args){
+  const r = await fetch('/api', {method:'POST', body: JSON.stringify({op: op, args: args||{}})});
+  const out = await r.json();
+  if (!out.ok && out.error) setMsg('error: ' + out.error);
+  return out;
+}
+async function refresh(){
+  const r = await fetch('/robot');
+  const s = await r.json();
+  MESHES = s.meshes; ROBOT = s;
+  renderPanel(); draw();
+}
+function setMsg(t){ document.getElementById('msg').textContent = t; }
+function renderPanel(){
+  const ul = document.getElementById('members');
+  ul.innerHTML = '';
+  for (const m of ROBOT.members){
+    const li = document.createElement('li');
+    li.textContent = (m.name === ROBOT.root ? '* ' : '') + m.name;
+    li.style.cursor = 'pointer';
+    if (m.name === selected) li.style.color = '#fc6';
+    li.onclick = ()=>{ select(m.name); };
+    ul.appendChild(li);
+  }
+  const f = document.getElementById('fields');
+  if (!selected) { f.style.display = 'none'; return; }
+  const m = ROBOT.members.find(x=>x.name===selected);
+  if (!m) { selected = null; f.style.display = 'none'; return; }
+  f.style.display = 'block';
+  for (const [id, val] of [['f_pos', m.pos], ['f_scale', m.scale],
+                           ['f_mass', [m.mass]], ['f_fric', [m.friction]]])
+    document.getElementById(id).value = val.map(x=>+x.toFixed(4)).join(', ');
+}
+function select(name){ selected = name; renderPanel(); draw(); }
+async function applyFields(){
+  const g = id=>document.getElementById(id).value.split(',').map(Number);
+  await api('update_member', {name: selected, pos: g('f_pos'), scale: g('f_scale'),
+                              mass: g('f_mass')[0], friction: g('f_fric')[0]});
+  await refresh();
+}
+// --- mouse: orbit / pick / grab-move ---
+let drag = null, gKey = false;
+document.addEventListener('keydown', e=>{ if(e.key==='g') gKey = true; });
+document.addEventListener('keyup', e=>{ if(e.key==='g') gKey = false; });
+cv.addEventListener('mousedown', e=>{
+  drag = {x: e.offsetX, y: e.offsetY, moved: false,
+          grab: gKey && selected ? true : false};
+});
+cv.addEventListener('mousemove', async e=>{
+  if (!drag) return;
+  const dx = e.offsetX - drag.x, dy = e.offsetY - drag.y;
+  if (Math.abs(dx)+Math.abs(dy) > 2) drag.moved = true;
+  if (drag.grab && selected){
+    const m = ROBOT.members.find(x=>x.name===selected);
+    const z = dot(sub(m.pos, view.p), view.f);
+    const dw = add3(mul3(view.s, dx*z/FOCAL), mul3(view.u, -dy*z/FOCAL));
+    m.pos = add3(m.pos, dw);  // optimistic; server applies on mouseup
+    drag.x = e.offsetX; drag.y = e.offsetY; drag.pending = m.pos;
+    draw();
+  } else {
+    cam.yaw += dx*0.008; cam.pitch = Math.min(1.4, Math.max(-1.4, cam.pitch + dy*0.008));
+    drag.x = e.offsetX; drag.y = e.offsetY;
+    draw();
+  }
+});
+cv.addEventListener('mouseup', async e=>{
+  const d = drag; drag = null;
+  if (!d) return;
+  if (d.grab && d.pending){
+    await api('update_member', {name: selected, pos: d.pending});
+    await refresh();  // children followed via server-side BFS
+  } else if (!d.moved){
+    mkView();
+    const ray = pixelRay(e.offsetX, e.offsetY);
+    const out = await api('ray_cast_member', {from: ray.from, to: ray.to});
+    select(out.hit);
+  }
+});
+cv.addEventListener('wheel', e=>{
+  cam.dist = Math.min(30, Math.max(0.5, cam.dist * (e.deltaY > 0 ? 1.1 : 0.9)));
+  e.preventDefault(); draw();
+});
+// --- toolbar ---
+async function addMember(){
+  const name = prompt('member name'); if (!name) return;
+  await api('add_member', {name: name, pos: [0, 0.5, 0], scale: [0.1,0.1,0.1]});
+  await refresh(); select(name);
+}
+async function cloneSel(){
+  if (!selected) return setMsg('select a member first');
+  const m = ROBOT.members.find(x=>x.name===selected);
+  await api('clone', {name: selected, prefix: 'copy',
+                      pos: add3(m.pos, [0.5,0,0]), rot: m.rot});
+  await refresh();
+}
+async function removeSel(){
+  if (!selected) return setMsg('select a member first');
+  await api('remove_member', {name: selected}); selected = null;
+  await refresh();
+}
+async function setRootSel(){
+  if (!selected) return setMsg('select a member first');
+  await api('set_root', {name: selected}); await refresh();
+}
+async function saveRobot(){
+  const p = document.getElementById('path').value;
+  const out = await api('save_robot', {path: p});
+  if (out.ok) setMsg('saved to ' + out.path);
+}
+async function loadRobot(){
+  const p = document.getElementById('path').value;
+  const out = await api('load_robot', {path: p});
+  if (out.ok) { setMsg('loaded ' + p); selected = null; await refresh(); }
+}
+refresh();
+"""
+
+
+def editor_html() -> str:
+    return f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>evomotion robot builder</title>
+<style>
+body{{margin:0;background:#10141c;color:#cdd3df;font:13px monospace;display:flex}}
+#panel{{width:260px;padding:10px;overflow-y:auto;height:100vh;box-sizing:border-box}}
+#members{{list-style:none;padding-left:6px;max-height:30vh;overflow-y:auto}}
+button{{margin:2px;background:#273049;color:#cdd3df;border:1px solid #3a4663;
+        padding:3px 8px;cursor:pointer}}
+input{{width:95%;background:#1a2030;color:#cdd3df;border:1px solid #3a4663;margin:2px 0}}
+#msg{{color:#fc6;min-height:16px}}
+</style></head><body>
+<div id="panel">
+  <h3>robot builder</h3>
+  <div>
+    <button onclick="addMember()">add</button>
+    <button onclick="cloneSel()">clone</button>
+    <button onclick="removeSel()">remove</button>
+    <button onclick="setRootSel()">set root</button>
+  </div>
+  <ul id="members"></ul>
+  <div id="fields" style="display:none">
+    <div>pos <input id="f_pos"></div>
+    <div>scale <input id="f_scale"></div>
+    <div>mass <input id="f_mass"></div>
+    <div>friction <input id="f_fric"></div>
+    <button onclick="applyFields()">apply</button>
+  </div>
+  <hr>
+  <div>robot json path<input id="path" value="/tmp/robot.json"></div>
+  <button onclick="saveRobot()">save</button>
+  <button onclick="loadRobot()">load</button>
+  <div id="msg"></div>
+</div>
+<canvas id="cv" width="1024" height="760"></canvas>
+<script>
+{_EDITOR_JS}
+</script></body></html>"""

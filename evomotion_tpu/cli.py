@@ -87,7 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     run_p.add_argument("--port", type=int, default=8800)
 
-    sub.add_parser("gui", help="robot builder (headless API; see builder/)")
+    gui_p = sub.add_parser(
+        "gui", help="web robot-builder editor (reference: ImGui application)"
+    )
+    gui_p.add_argument("--port", type=int, default=8801)
+    gui_p.add_argument("--robot", default=None, help="robot JSON to load")
     return parser
 
 
@@ -96,11 +100,15 @@ def main(argv=None):
     agent_kv, env_kv, rest = _extract_kv_flags(list(argv))
     args = build_parser().parse_args(rest)
     if args.mode == "gui":
-        print(
-            "The interactive GUI is replaced by the programmatic robot-builder "
-            "API: evomotion_tpu.builder.RobotBuilderEnvironment "
-            "(add/update/clone members, constraints, muscles, save/load)."
-        )
+        # reference `evo_motion gui` (src/gui.cpp): the ImGui robot builder.
+        # Here: the web editor over the same builder environment.
+        from .builder.builder_env import RobotBuilderEnvironment
+        from .builder.web_editor import serve_editor
+
+        builder = RobotBuilderEnvironment()
+        if args.robot:
+            builder.load_robot(args.robot)
+        serve_editor(builder, port=args.port)
         return 0
 
     from .agents.factory import get_agent_factory

@@ -75,7 +75,7 @@ def train_batched(
     ppo_gae_liquid (on-policy GAE tier, ppo_batched.py /
     ppo_liquid_batched.py) and soft_actor_critic / cross_q (device
     ring-buffer tier, offpolicy_batched.py)."""
-    if agent_name in ("soft_actor_critic", "cross_q"):
+    if agent_name in ("soft_actor_critic", "cross_q", "soft_actor_critic_liquid"):
         return _train_batched_offpolicy(
             env_seed, env_factory, agent_params, num_envs, episodes, nb_saves,
             output_path, agent_name,
@@ -83,7 +83,7 @@ def train_batched(
     if agent_name not in ("ppo_gae", "ppo", "ppo_gae_liquid"):
         raise SystemExit(
             "batched training supports ppo_gae/ppo_gae_liquid/"
-            f"soft_actor_critic/cross_q, not {agent_name}"
+            f"soft_actor_critic/soft_actor_critic_liquid/cross_q, not {agent_name}"
         )
     from ..train.checkpoint import save_component
     from ..train.ppo_batched import BatchedPpo, PpoConfig
@@ -146,14 +146,17 @@ def _train_batched_offpolicy(
     env_seed, env_factory, agent_params, num_envs, episodes, nb_saves,
     output_path, agent_name,
 ):
-    """SAC/CrossQ batched tier: device ring buffer, jitted rollout+updates."""
-    from ..train.offpolicy_batched import BatchedOffPolicy, OffPolicyConfig
+    """SAC/CrossQ/liquid-SAC batched tier: device ring, jitted rollout+updates."""
+    from ..train.offpolicy_batched import (
+        BatchedOffPolicy,
+        BatchedOffPolicyLiquid,
+        OffPolicyConfig,
+        OffPolicyLiquidConfig,
+    )
 
     env = env_factory.make(env_seed, mt_parity=False)
     g = lambda k, d: type(d)(agent_params[k]) if k in agent_params else d
-    cfg = OffPolicyConfig(
-        actor_hidden_size=g("hidden_size", 256),
-        critic_hidden_size=g("critic_hidden_size", g("hidden_size", 256)),
+    common = dict(
         batch_size=g("batch_size", 256),
         epoch=g("epoch", 1),
         learning_rate=g("learning_rate", 3e-4),
@@ -162,9 +165,23 @@ def _train_batched_offpolicy(
         train_every=g("train_every", 1),
         steps_per_iter=g("horizon", 64),
         n_envs=num_envs,
-        buffer_capacity=g("replay_buffer_size", 262144),
     )
-    trainer = BatchedOffPolicy(env, agent_name, cfg, seed=g("seed", env_seed))
+    if agent_name == "soft_actor_critic_liquid":
+        cfg = OffPolicyLiquidConfig(
+            neurons=g("neuron_number", 64),
+            unfolding_steps=g("unfolding_steps", 6),
+            buffer_capacity=g("replay_buffer_size", 65536),
+            **common,
+        )
+        trainer = BatchedOffPolicyLiquid(env, cfg, seed=g("seed", env_seed))
+    else:
+        cfg = OffPolicyConfig(
+            actor_hidden_size=g("hidden_size", 256),
+            critic_hidden_size=g("critic_hidden_size", g("hidden_size", 256)),
+            buffer_capacity=g("replay_buffer_size", 262144),
+            **common,
+        )
+        trainer = BatchedOffPolicy(env, agent_name, cfg, seed=g("seed", env_seed))
     train_step = jax.jit(trainer.train_step_fn())
     state = trainer.init()
     os.makedirs(output_path, exist_ok=True)

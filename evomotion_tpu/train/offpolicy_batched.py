@@ -268,3 +268,246 @@ class BatchedOffPolicy:
     def load_carry(self, folder: str):
         self.agent.load(folder)
         return self.agent._carry()
+
+
+@dataclasses.dataclass(frozen=True)
+class OffPolicyLiquidConfig(OffPolicyConfig):
+    neurons: int = 64  # reference key: neuron_number
+    unfolding_steps: int = 6
+    # hidden states are stored per transition (5 nets x 2 x neurons floats),
+    # so the default ring is smaller than the MLP tier's
+    buffer_capacity: int = 65536
+
+
+class LiquidRing(NamedTuple):
+    """Device ring of transitions + per-step LTC hidden states.
+
+    The reference's liquid replay buffers store the hidden state each
+    forward pass consumed and produced (replay_buffer.h:33-56,
+    liquid_sac_memory); here that is {net: [CAP, neurons]} for the five
+    SAC nets, "in" at the transition's obs and "out" at its next_obs."""
+
+    obs: jnp.ndarray
+    action: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+    next_obs: jnp.ndarray
+    valid: jnp.ndarray
+    x: Any  # {net: [CAP, neurons]} pre-step hidden states
+    next_x: Any  # {net: [CAP, neurons]} post-step hidden states
+    cursor: jnp.ndarray
+    filled: jnp.ndarray
+
+
+class OffPolicyLiquidTrainState(NamedTuple):
+    carry: Any
+    ring: LiquidRing
+    env_state: Any
+    obs: jnp.ndarray
+    xs: Any  # {net: [N, neurons]} live per-env hidden states
+    prev_valid: jnp.ndarray
+    key: jnp.ndarray
+    iteration: jnp.ndarray
+
+
+class BatchedOffPolicyLiquid:
+    """Batched soft_actor_critic_liquid (soft_actor_critic_liquid.cpp):
+    SAC over liquid actor + twin liquid Q (+ targets), N envs in lockstep,
+    hidden states carried through the rollout scan and stored in the ring
+    so updates replay from the stored x_t (teacher forcing), exactly like
+    the reference's LiquidReplayBuffer training path."""
+
+    NETS = ("actor", "critic_1", "critic_2", "target_critic_1", "target_critic_2")
+
+    def __init__(self, env, config: OffPolicyLiquidConfig = OffPolicyLiquidConfig(),
+                 seed: int = 1234):
+        from ..agents.liquid_agents import SoftActorCriticLiquidAgent
+
+        self.env = env
+        cfg = config
+        block = cfg.steps_per_iter * cfg.n_envs
+        cap = max(cfg.buffer_capacity, block)
+        cap = ((cap + block - 1) // block) * block
+        self.capacity = cap
+        self.config = cfg
+        self.seed = seed
+        self.agent = SoftActorCriticLiquidAgent(
+            seed, env.observation_size, env.action_size, cfg.neurons,
+            cfg.batch_size, cfg.epoch, cfg.learning_rate, cfg.gamma, cfg.tau,
+            cfg.unfolding_steps, replay_buffer_size=1, train_every=cfg.train_every,
+        )
+        self._update_fn = self.agent._make_train_fn()
+        self.updates_per_iter = max(1, cfg.steps_per_iter // cfg.train_every)
+
+    def init(self, key=None) -> OffPolicyLiquidTrainState:
+        from ..networks.liquid import liquid_cell_first_x
+
+        cfg = self.config
+        key = jax.random.PRNGKey(self.seed) if key is None else key
+        ke, key = jax.random.split(key)
+        env_keys = jax.random.split(ke, cfg.n_envs)
+        env_state, first = jax.vmap(self.env.reset)(env_keys)
+        s, a = self.env.observation_size, self.env.action_size
+        cap, nn = self.capacity, cfg.neurons
+        ring = LiquidRing(
+            obs=jnp.zeros((cap, s)),
+            action=jnp.zeros((cap, a)),
+            reward=jnp.zeros((cap,)),
+            done=jnp.zeros((cap,)),
+            next_obs=jnp.zeros((cap, s)),
+            valid=jnp.zeros((cap,)),
+            x={n: jnp.zeros((cap, nn)) for n in self.NETS},
+            next_x={n: jnp.zeros((cap, nn)) for n in self.NETS},
+            cursor=jnp.int32(0),
+            filled=jnp.int32(0),
+        )
+        return OffPolicyLiquidTrainState(
+            carry=self.agent._carry(),
+            ring=ring,
+            env_state=env_state,
+            obs=first.obs,
+            xs={n: liquid_cell_first_x(nn, (cfg.n_envs,)) for n in self.NETS},
+            prev_valid=first.valid
+            if first.valid.shape == (cfg.n_envs,)
+            else jnp.ones((cfg.n_envs,), bool),
+            key=key,
+            iteration=jnp.int32(0),
+        )
+
+    def train_step_fn(self):
+        from ..networks.liquid import (
+            liquid_actor_apply,
+            liquid_cell_first_x,
+            liquid_q_net_apply,
+        )
+
+        cfg = self.config
+        env_step = jax.vmap(self.env.step)
+        cap = self.capacity
+        block = cfg.steps_per_iter * cfg.n_envs
+        n_events = self.updates_per_iter
+        update = self._update_fn
+        u = cfg.unfolding_steps
+        NETS = self.NETS
+
+        def train_step(state: OffPolicyLiquidTrainState):
+            key, k_roll, k_upd = jax.random.split(state.key, 3)
+            carry = state.carry
+            actor_p, c1p, c2p = carry[0], carry[2], carry[4]
+            t1p, t2p = carry[6], carry[7]
+
+            def step(c, k):
+                env_state, obs, xs, prev_valid = c
+                mu, sigma, ax = liquid_actor_apply(actor_p, xs["actor"], obs, u)
+                action = D.truncated_normal_sample(k, mu, sigma)
+                # advance all five hidden chains with (obs, action), as the
+                # sequential agent's act() does (stateful inference)
+                _, x1 = liquid_q_net_apply(c1p, xs["critic_1"], obs, action, u)
+                _, x2 = liquid_q_net_apply(c2p, xs["critic_2"], obs, action, u)
+                _, tx1 = liquid_q_net_apply(
+                    t1p, xs["target_critic_1"], obs, action, u
+                )
+                _, tx2 = liquid_q_net_apply(
+                    t2p, xs["target_critic_2"], obs, action, u
+                )
+                new_xs = {
+                    "actor": ax, "critic_1": x1, "critic_2": x2,
+                    "target_critic_1": tx1, "target_critic_2": tx2,
+                }
+                env_state, res = env_step(env_state, action)
+                trainable = prev_valid & res.valid
+                # freeze across invalid settle frames; reset on episode end
+                validf = res.valid[:, None].astype(jnp.float32)
+                donef = res.done[:, None].astype(jnp.float32)
+                next_xs = {
+                    n: (1.0 - donef)
+                    * (validf * new_xs[n] + (1.0 - validf) * xs[n])
+                    for n in NETS
+                }
+                out = (obs, action, res.reward, res.done, res.obs,
+                       trainable.astype(jnp.float32), xs, new_xs)
+                return (env_state, res.obs, next_xs, res.valid), out
+
+            keys = jax.random.split(k_roll, cfg.steps_per_iter)
+            (env_state, obs, xs, prev_valid), traj = jax.lax.scan(
+                step, (state.env_state, state.obs, state.xs, state.prev_valid),
+                keys,
+            )
+            (t_obs, t_act, t_rew, t_done, t_next, t_valid, t_x, t_nx) = (
+                jax.tree.map(lambda x: x.reshape((block,) + x.shape[2:]), traj)
+            )
+
+            ring = state.ring
+            cur = ring.cursor
+            upd = lambda buf, val: jax.lax.dynamic_update_slice_in_dim(
+                buf, val, cur, 0
+            )
+            ring = LiquidRing(
+                obs=upd(ring.obs, t_obs),
+                action=upd(ring.action, t_act),
+                reward=upd(ring.reward, t_rew),
+                done=upd(ring.done, t_done.astype(jnp.float32)),
+                next_obs=upd(ring.next_obs, t_next),
+                valid=upd(ring.valid, t_valid),
+                x=jax.tree.map(upd, ring.x, t_x),
+                next_x=jax.tree.map(upd, ring.next_x, t_nx),
+                cursor=(cur + block) % cap,
+                filled=jnp.minimum(ring.filled + block, cap),
+            )
+
+            last = (ring.cursor - 1) % cap
+            weights = ring.valid.at[last].set(0.0)
+            cdf = jnp.cumsum(weights)
+            total = cdf[-1]
+            has_enough = total >= cfg.batch_size
+
+            def do_updates(carry):
+                def one_update(c, k):
+                    ks, kt = jax.random.split(k)
+                    un = jax.random.uniform(ks, (cfg.batch_size,)) * total
+                    idx = jnp.searchsorted(cdf, un, side="left")
+                    x = {n: ring.x[n][idx] for n in NETS}
+                    nx = {n: ring.next_x[n][idx] for n in NETS}
+                    c, losses = update(
+                        c, kt, ring.obs[idx], ring.action[idx],
+                        ring.reward[idx][:, None], ring.done[idx][:, None],
+                        ring.next_obs[idx], x, nx,
+                    )
+                    return c, losses
+
+                keys = jax.random.split(k_upd, n_events * cfg.epoch)
+                return jax.lax.scan(one_update, carry, keys)
+
+            def no_updates(carry):
+                z = jnp.zeros((n_events * cfg.epoch,))
+                return carry, (z, z, z, z)
+
+            carry, (a_l, c1_l, c2_l, e_l) = jax.lax.cond(
+                has_enough, do_updates, no_updates, state.carry
+            )
+
+            state = OffPolicyLiquidTrainState(
+                carry=carry, ring=ring, env_state=env_state, obs=obs, xs=xs,
+                prev_valid=prev_valid, key=key, iteration=state.iteration + 1,
+            )
+            nv = jnp.maximum(t_valid.sum(), 1.0)
+            metrics = OffPolicyMetrics(
+                actor_loss=a_l.mean(),
+                critic_1_loss=c1_l.mean(),
+                critic_2_loss=c2_l.mean(),
+                entropy_loss=e_l.mean(),
+                mean_reward=(t_rew * t_valid).sum() / nv,
+                episodes_done=t_done.sum(),
+                updates_done=jnp.where(has_enough, n_events * cfg.epoch, 0),
+            )
+            return state, metrics
+
+        return train_step
+
+    def save(self, folder: str, state: OffPolicyLiquidTrainState) -> None:
+        self.agent._uncarry(state.carry)
+        self.agent.save(folder)
+
+    def load_carry(self, folder: str):
+        self.agent.load(folder)
+        return self.agent._carry()

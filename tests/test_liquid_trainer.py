@@ -78,3 +78,83 @@ def test_learns_cartpole():
         state, metrics = step(state)
         (first if i < 5 else last).append(float(metrics.mean_reward))
     assert np.mean(last[-5:]) > np.mean(first), (np.mean(first), np.mean(last[-5:]))
+
+
+# ---------------------------------------------------------------------------
+# liquid SAC tier (train/offpolicy_batched.BatchedOffPolicyLiquid)
+# Reference: soft_actor_critic_liquid.cpp + liquid_sac_memory buffers.
+# ---------------------------------------------------------------------------
+
+
+def _sac_trainer(n_envs=16, steps_per_iter=8, **kw):
+    from evomotion_tpu.train.offpolicy_batched import (
+        BatchedOffPolicyLiquid,
+        OffPolicyLiquidConfig,
+    )
+
+    env = CartPole(CartPoleParams(reset_frame_nb=2))
+    defaults = dict(
+        neurons=16, unfolding_steps=3, batch_size=32, epoch=1,
+        steps_per_iter=steps_per_iter, n_envs=n_envs, buffer_capacity=512,
+        train_every=1,
+    )
+    defaults.update(kw)
+    return BatchedOffPolicyLiquid(env, OffPolicyLiquidConfig(**defaults), seed=0)
+
+
+def test_liquid_sac_step_runs_and_updates():
+    trainer = _sac_trainer()
+    step = jax.jit(trainer.train_step_fn())
+    state = trainer.init()
+    p0 = jax.tree.leaves(state.carry[0])[0].copy()
+    for _ in range(3):  # fill the ring past batch_size, then update
+        state, metrics = step(state)
+    assert int(state.iteration) == 3
+    assert int(metrics.updates_done) > 0
+    assert np.isfinite(float(metrics.actor_loss))
+    p1 = jax.tree.leaves(state.carry[0])[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    # ring stores hidden states for all five nets, in and out
+    for n in trainer.NETS:
+        assert np.asarray(state.ring.x[n]).shape == (trainer.capacity, 16)
+        assert np.abs(np.asarray(state.ring.next_x[n])).max() > 0.0
+
+
+def test_liquid_sac_hidden_states_consistent():
+    """Stored next_x of a transition is the hidden state the NEXT stored
+    transition of the same env consumed (teacher-forcing chain), except at
+    episode boundaries where it resets to the first state."""
+    trainer = _sac_trainer(n_envs=4, steps_per_iter=12)
+    step = jax.jit(trainer.train_step_fn())
+    state = trainer.init()
+    state, _ = step(state)
+    cap_t = 12  # transitions per env this iteration, stored [T, N] flattened
+    x = np.asarray(state.ring.x["actor"]).reshape(-1, 4, 16)[:cap_t]
+    nx = np.asarray(state.ring.next_x["actor"]).reshape(-1, 4, 16)[:cap_t]
+    dones = np.asarray(state.ring.done).reshape(-1, 4)[:cap_t]
+    valid = np.asarray(state.ring.valid).reshape(-1, 4)[:cap_t]
+    for t in range(cap_t - 1):
+        for n in range(4):
+            if valid[t, n] and valid[t + 1, n] and not dones[t, n]:
+                np.testing.assert_allclose(
+                    nx[t, n], x[t + 1, n], atol=1e-6,
+                    err_msg=f"hidden chain broken at t={t} env={n}",
+                )
+
+
+def test_liquid_sac_learns_cartpole():
+    """Episode-failure rate drops as the liquid SAC learns to balance
+    (mean reward starts near-max on cartpole since the pole begins upright,
+    so episodes_done per fixed window is the discriminative signal)."""
+    trainer = _sac_trainer(
+        n_envs=32, steps_per_iter=16, learning_rate=1e-3, batch_size=64,
+        buffer_capacity=4096,
+    )
+    step = jax.jit(trainer.train_step_fn())
+    state = trainer.init()
+    eps = []
+    for i in range(140):
+        state, metrics = step(state)
+        eps.append(float(metrics.episodes_done))
+    early, late = np.mean(eps[5:30]), np.mean(eps[-20:])
+    assert late < 0.5 * early, (early, late)

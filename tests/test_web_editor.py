@@ -1,0 +1,122 @@
+"""Web robot-builder editor tests (builder/web_editor.py).
+
+Reference counterpart: the ImGui builder application (application.cpp:14-331,
+BuilderOpenGlWindow picking, member settings windows, robot save/load). The
+acceptance path from VERDICT r2 #8: load the spider, move a member (children
+follow), save, and the saved JSON round-trips bit-exact."""
+
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from evomotion_tpu.builder.builder_env import RobotBuilderEnvironment
+from evomotion_tpu.builder.web_editor import (
+    apply_op,
+    editor_html,
+    editor_state,
+    serve_editor,
+)
+
+SPIDER = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "evomotion_tpu", "resources", "skeleton", "spider.json",
+)
+
+
+def test_editor_state_and_ops_roundtrip(tmp_path):
+    b = RobotBuilderEnvironment()
+    b.load_robot(SPIDER)
+    state = editor_state(b)
+    assert len(state["members"]) == 17
+    assert len(state["muscles"]) == 12
+    assert state["root"] == "body"
+
+    # move a member through the op layer; its constrained subtree follows
+    leg = state["members"][3]["name"]
+    before = {m["name"]: m["pos"] for m in state["members"]}
+    new_pos = [p + d for p, d in zip(before[leg], (0.3, 0.1, -0.2))]
+    out = apply_op(b, {"op": "update_member",
+                       "args": {"name": leg, "pos": new_pos}})
+    assert out["ok"]
+    after = {m["name"]: m["pos"] for m in editor_state(b)["members"]}
+    np.testing.assert_allclose(after[leg], new_pos, atol=1e-5)
+    moved = [n for n in after if np.abs(np.subtract(after[n], before[n])).max() > 1e-6]
+    assert len(moved) > 1, "BFS propagation did not move any child"
+
+    # save; reload; save again -> byte-identical (bit-exact codec)
+    p1 = tmp_path / "edited.json"
+    p2 = tmp_path / "edited2.json"
+    apply_op(b, {"op": "save_robot", "args": {"path": str(p1)}})
+    b2 = RobotBuilderEnvironment()
+    b2.load_robot(str(p1))
+    b2.save_robot(str(p2))
+    assert p1.read_bytes() == p2.read_bytes(), "saved robot is not bit-exact"
+
+
+def test_editor_ops_add_clone_remove_raycast():
+    b = RobotBuilderEnvironment("bot")
+    assert apply_op(b, {"op": "add_member", "args": {
+        "name": "torso", "pos": [0, 1, 0], "scale": [0.3, 0.2, 0.4]}})["ok"]
+    assert apply_op(b, {"op": "set_root", "args": {"name": "torso"}})["ok"]
+    assert apply_op(b, {"op": "clone", "args": {
+        "name": "torso", "prefix": "c", "pos": [1, 1, 0]}})["ok"]
+    st = editor_state(b)
+    assert sorted(m["name"] for m in st["members"]) == ["c_torso", "torso"]
+    # the page's picking path: a ray through the torso hits it
+    hit = apply_op(b, {"op": "ray_cast_member", "args": {
+        "from": [0, 1, -5], "to": [0, 1, 5]}})["hit"]
+    assert hit == "torso"
+    assert apply_op(b, {"op": "remove_member", "args": {"name": "c_torso"}})["ok"]
+    assert editor_state(b)["members"][0]["name"] == "torso"
+
+
+def test_editor_serves_page_and_api():
+    b = RobotBuilderEnvironment()
+    b.load_robot(SPIDER)
+    port = 8841
+    n_requests = 4
+    t = threading.Thread(
+        target=serve_editor, args=(b, port, n_requests), daemon=True
+    )
+    t.start()
+
+    base = f"http://127.0.0.1:{port}"
+    page = urllib.request.urlopen(base + "/", timeout=10).read().decode()
+    assert "robot builder" in page
+    robot = json.loads(urllib.request.urlopen(base + "/robot", timeout=10).read())
+    assert len(robot["members"]) == 17 and "meshes" in robot
+
+    # a ray straight through the root member's center must hit something
+    root = next(m for m in robot["members"] if m["name"] == robot["root"])
+    frm = [root["pos"][0], root["pos"][1], root["pos"][2] - 5.0]
+    to = [root["pos"][0], root["pos"][1], root["pos"][2] + 5.0]
+    req = urllib.request.Request(
+        base + "/api",
+        data=json.dumps({"op": "ray_cast_member",
+                         "args": {"from": frm, "to": to}}).encode(),
+        method="POST",
+    )
+    out = json.loads(urllib.request.urlopen(req, timeout=10).read())
+    assert out["ok"] and out["hit"] is not None
+
+    req = urllib.request.Request(
+        base + "/api",
+        data=json.dumps({"op": "update_member",
+                         "args": {"name": robot["members"][0]["name"],
+                                  "pos": [0.5, 0.5, 0.5]}}).encode(),
+        method="POST",
+    )
+    out = json.loads(urllib.request.urlopen(req, timeout=10).read())
+    assert out["ok"]
+    t.join(timeout=30)
+    assert not t.is_alive()
+
+
+def test_editor_html_self_contained():
+    page = editor_html()
+    assert "<script>" in page and "fetch('/robot')" in page
+    assert "http://" not in page.split("<script>")[1]  # no external assets
