@@ -119,10 +119,41 @@ def train_batched(
     state = trainer.init()
     os.makedirs(output_path, exist_ok=True)
 
+    # perf observability (SURVEY §5: the reference has none):
+    # EVOMOTION_PROFILE=1 -> per-phase wall timers (train iter + a periodic
+    # rollout-only measurement, so the rollout/update split is visible even
+    # though the iteration is one fused jitted program);
+    # EVOMOTION_TRACE_DIR=<dir> -> one jax.profiler trace around iteration 10.
+    profile = bool(os.environ.get("EVOMOTION_PROFILE"))
+    trace_dir = os.environ.get("EVOMOTION_TRACE_DIR")
+    timer = None
+    rollout_only = None
+    if profile:
+        from .profiling import StepTimer
+
+        timer = StepTimer()
+        rollout_only = jax.jit(lambda st: trainer.rollout_fn()(st)[1])
+
     t0 = time.time()
+    it_global = 0
     for s in range(nb_saves):
         for e in range(episodes):
-            state, metrics = train_step(state)
+            it_global += 1
+            if trace_dir and it_global == 10:
+                from .profiling import trace
+
+                with trace(trace_dir):
+                    state, metrics = train_step(state)
+                    jax.block_until_ready(metrics.actor_loss)
+            elif timer is not None:
+                with timer.phase("train_iter", block_on=state.obs):
+                    state, metrics = train_step(state)
+                if it_global % 100 == 1:
+                    with timer.phase("rollout_only", block_on=None) as _:
+                        traj = rollout_only(state)
+                        jax.block_until_ready(traj)
+            else:
+                state, metrics = train_step(state)
             if e % 10 == 0 or e == episodes - 1:
                 m = jax.tree.map(float, metrics)
                 steps_done = (s * episodes + e + 1) * cfg.horizon * num_envs
@@ -132,6 +163,9 @@ def train_batched(
                     f"r/step={m.mean_reward:.4f} {sps:,.0f} env-steps/s",
                     e + 1, episodes, t0,
                 )
+        if timer is not None:
+            print(f"\n[profile] {timer.summary()}  "
+                  f"({timer.rate('train_iter', cfg.horizon * num_envs):,.0f} env-steps/s incl. update)")
         save_dir = os.path.join(output_path, f"save_{s}")
         os.makedirs(save_dir, exist_ok=True)
         save_component(save_dir, "actor", state.actor_params)
