@@ -279,6 +279,78 @@ function drawGrid(tris){
                col:`rgb(${col[0]},${col[1]},${col[2]})`});
   }
 }
+// CubeGrid backdrop (reference drawables/cube_grid.cpp): sparse 3D lattice
+// of markers above the ground plane as a spatial depth cue
+function drawCubeGrid(){
+  ctx.fillStyle = 'rgba(110,125,160,0.25)';
+  for(let x=-4;x<=4;x+=2) for(let y=1;y<=3;y+=1) for(let z=-4;z<=4;z+=2){
+    const p = project([x,y,z]);
+    if(!p) continue;
+    const s = Math.max(1, 4/p[2]*3);
+    ctx.fillRect(p[0]-s/2, p[1]-s/2, s, s);
+  }
+}
+// --- gizmos (reference NoShapeItem kinds, item.cpp:100-160):
+// BASIS_AXIS translate arrows + ROTATION_TORUS rings on the selection ---
+const AXCOL = ['#e05555','#55c060','#5878e0'];  // x, y, z
+function axisDirs(m){
+  return [qrot(m.rot,[1,0,0]), qrot(m.rot,[0,1,0]), qrot(m.rot,[0,0,1])];
+}
+let gizmoHits = [];  // screen-space handles: {kind:'axis'|'ring', axis, x, y}
+function drawGizmos(){
+  gizmoHits = [];
+  if (!selected) return;
+  const m = ROBOT.members.find(x=>x.name===selected);
+  if (!m) return;
+  const L = 1.6*Math.max(m.scale[0], m.scale[1], m.scale[2]);
+  const dirs = axisDirs(m);
+  const c0 = project(m.pos);
+  if (!c0) return;
+  for (let a=0;a<3;a++){
+    // BASIS_AXIS arrow
+    const tip = project(add3(m.pos, mul3(dirs[a], L)));
+    if (tip){
+      ctx.strokeStyle = AXCOL[a]; ctx.lineWidth = 2.5;
+      ctx.beginPath(); ctx.moveTo(c0[0],c0[1]); ctx.lineTo(tip[0],tip[1]); ctx.stroke();
+      ctx.fillStyle = AXCOL[a];
+      ctx.beginPath(); ctx.arc(tip[0],tip[1],5,0,7); ctx.fill();
+      gizmoHits.push({kind:'axis', axis:a, x:tip[0], y:tip[1]});
+    }
+    // ROTATION_TORUS ring: circle around axis a through the two other dirs
+    const u = dirs[(a+1)%3], v = dirs[(a+2)%3], R = L*0.8;
+    ctx.strokeStyle = AXCOL[a]; ctx.lineWidth = 1.2;
+    ctx.beginPath();
+    let started=false, handle=null;
+    for(let t=0;t<=24;t++){
+      const th = t/24*2*Math.PI;
+      const p = project(add3(m.pos, add3(mul3(u,R*Math.cos(th)), mul3(v,R*Math.sin(th)))));
+      if(!p){started=false;continue;}
+      if(!started){ctx.moveTo(p[0],p[1]);started=true;} else ctx.lineTo(p[0],p[1]);
+      if(t===6) handle=p;
+    }
+    ctx.stroke();
+    if (handle){
+      ctx.fillStyle = AXCOL[a];
+      ctx.fillRect(handle[0]-4, handle[1]-4, 8, 8);
+      gizmoHits.push({kind:'ring', axis:a, x:handle[0], y:handle[1]});
+    }
+  }
+}
+function hitGizmo(px, py){
+  for (const g of gizmoHits)
+    if (Math.hypot(px-g.x, py-g.y) < 10) return g;
+  return null;
+}
+function axisAngleQuat(axis, ang){
+  const s = Math.sin(ang/2);
+  return [axis[0]*s, axis[1]*s, axis[2]*s, Math.cos(ang/2)];
+}
+function qmul(a,b){
+  return [a[3]*b[0]+a[0]*b[3]+a[1]*b[2]-a[2]*b[1],
+          a[3]*b[1]-a[0]*b[2]+a[1]*b[3]+a[2]*b[0],
+          a[3]*b[2]+a[0]*b[1]-a[1]*b[0]+a[2]*b[3],
+          a[3]*b[3]-a[0]*b[0]-a[1]*b[1]-a[2]*b[2]];
+}
 function draw(){
   mkView();
   ctx.fillStyle = '#10141c'; ctx.fillRect(0,0,W,H);
@@ -313,6 +385,8 @@ function draw(){
     for(let i=1;i<t.pts.length;i++) ctx.lineTo(t.pts[i][0], t.pts[i][1]);
     ctx.closePath(); ctx.fillStyle = t.col; ctx.fill();
   }
+  drawCubeGrid();
+  drawGizmos();
   ctx.fillStyle='#9ab'; ctx.font='13px monospace';
   ctx.fillText(`${ROBOT.robot_name}  members:${ROBOT.members.length} `+
     `constraints:${ROBOT.constraints.length} muscles:${ROBOT.muscles.length}` +
@@ -363,19 +437,40 @@ let drag = null, gKey = false;
 document.addEventListener('keydown', e=>{ if(e.key==='g') gKey = true; });
 document.addEventListener('keyup', e=>{ if(e.key==='g') gKey = false; });
 cv.addEventListener('mousedown', e=>{
-  drag = {x: e.offsetX, y: e.offsetY, moved: false,
-          grab: gKey && selected ? true : false};
+  const g = selected ? hitGizmo(e.offsetX, e.offsetY) : null;
+  drag = {x: e.offsetX, y: e.offsetY, moved: false, gizmo: g,
+          grab: !g && gKey && selected ? true : false};
 });
 cv.addEventListener('mousemove', async e=>{
   if (!drag) return;
   const dx = e.offsetX - drag.x, dy = e.offsetY - drag.y;
   if (Math.abs(dx)+Math.abs(dy) > 2) drag.moved = true;
-  if (drag.grab && selected){
+  if (drag.gizmo && selected){
+    const m = ROBOT.members.find(x=>x.name===selected);
+    const d3 = axisDirs(m)[drag.gizmo.axis];
+    if (drag.gizmo.kind === 'axis'){
+      // translate along the arrow's world axis (construct-tools translate)
+      const p0 = project(m.pos), p1 = project(add3(m.pos, d3));
+      if (p0 && p1){
+        const sx = p1[0]-p0[0], sy = p1[1]-p0[1];
+        const t = (dx*sx + dy*sy) / Math.max(sx*sx + sy*sy, 1e-6);
+        m.pos = add3(m.pos, mul3(d3, t));
+        drag.pendingPos = m.pos;
+      }
+    } else {
+      // rotate about the ring's axis (construct-tools rotate)
+      const ang = (dx - dy) * 0.01;
+      m.rot = qmul(axisAngleQuat(d3, ang), m.rot);
+      drag.pendingRot = m.rot;
+    }
+    drag.x = e.offsetX; drag.y = e.offsetY;
+    draw();
+  } else if (drag.grab && selected){
     const m = ROBOT.members.find(x=>x.name===selected);
     const z = dot(sub(m.pos, view.p), view.f);
     const dw = add3(mul3(view.s, dx*z/FOCAL), mul3(view.u, -dy*z/FOCAL));
     m.pos = add3(m.pos, dw);  // optimistic; server applies on mouseup
-    drag.x = e.offsetX; drag.y = e.offsetY; drag.pending = m.pos;
+    drag.x = e.offsetX; drag.y = e.offsetY; drag.pendingPos = m.pos;
     draw();
   } else {
     cam.yaw += dx*0.008; cam.pitch = Math.min(1.4, Math.max(-1.4, cam.pitch + dy*0.008));
@@ -386,8 +481,11 @@ cv.addEventListener('mousemove', async e=>{
 cv.addEventListener('mouseup', async e=>{
   const d = drag; drag = null;
   if (!d) return;
-  if (d.grab && d.pending){
-    await api('update_member', {name: selected, pos: d.pending});
+  if (d.pendingPos || d.pendingRot){
+    const args = {name: selected};
+    if (d.pendingPos) args.pos = d.pendingPos;
+    if (d.pendingRot) args.rot = d.pendingRot;
+    await api('update_member', args);
     await refresh();  // children followed via server-side BFS
   } else if (!d.moved){
     mkView();

