@@ -62,6 +62,14 @@ class PpoConfig:
     # rollouts and updates both see (obs - mean) / sqrt(var + eps), stats
     # from the previous iteration). Off by default: the parity config.
     obs_norm: bool = False
+    # sigma annealing: the policy's sampling std is scaled by
+    # (sigma_scale_end) ** min(it / sigma_scale_steps, 1) during rollouts
+    # AND updates (log-probs/entropy stay consistent), forcing exploration
+    # amplitude down so the mean action must carry the behavior — the
+    # direct cure when a policy learns to locomote on sampling dither and
+    # the greedy-mu policy stands still. Off (1.0 / 0) by default.
+    sigma_scale_end: float = 1.0
+    sigma_scale_steps: int = 0
 
 
 class PpoTrainState(NamedTuple):
@@ -77,6 +85,15 @@ class PpoTrainState(NamedTuple):
     obs_mean: jnp.ndarray  # [S]
     obs_var: jnp.ndarray  # [S]
     obs_count: jnp.ndarray  # scalar
+
+
+def _sigma_scale(cfg, iteration):
+    if cfg.sigma_scale_steps <= 0:
+        return 1.0
+    frac = jnp.minimum(
+        iteration.astype(jnp.float32) / cfg.sigma_scale_steps, 1.0
+    )
+    return cfg.sigma_scale_end**frac
 
 
 def normalize_obs(state: PpoTrainState, obs: jnp.ndarray) -> jnp.ndarray:
@@ -219,10 +236,13 @@ class BatchedPpo:
         cfg = self.config
 
         def rollout(state: PpoTrainState):
+            sig_scale = _sigma_scale(cfg, state.iteration)
+
             def step(carry, key):
                 env_state, obs = carry
                 obs_in = normalize_obs(state, obs) if cfg.obs_norm else obs
                 mu, sigma = actor_apply(state.actor_params, obs_in)
+                sigma = sigma * sig_scale
                 action = D.truncated_normal_sample(key, mu, sigma)
                 log_prob = D.truncated_normal_log_pdf(action, mu, sigma)
                 value = critic_apply(state.critic_params, obs_in)
@@ -275,6 +295,7 @@ class BatchedPpo:
 
                 def actor_loss_fn(ap):
                     mu, sigma = actor_apply(ap, obs)
+                    sigma = sigma * _sigma_scale(cfg, pre_state.iteration)
                     lp = D.truncated_normal_log_pdf(actions, mu, sigma)
                     entropy = D.truncated_normal_entropy(mu, sigma)
                     ratios = jnp.exp(lp - log_probs)

@@ -50,6 +50,9 @@ LR = float(sys.argv[5]) if len(sys.argv) > 5 else 1e-3
 ENT = float(sys.argv[6]) if len(sys.argv) > 6 else 0.01
 ENT_STEPS = int(sys.argv[7]) if len(sys.argv) > 7 else 0
 OBS_NORM = bool(int(sys.argv[8])) if len(sys.argv) > 8 else False
+SIGMA_END = float(sys.argv[9]) if len(sys.argv) > 9 else 1.0
+SIGMA_STEPS = int(sys.argv[10]) if len(sys.argv) > 10 else 0
+RESUME = sys.argv[11] if len(sys.argv) > 11 else None  # save dir to resume
 EVAL_EVERY = 50
 SAVE_EVERY = 250
 EVAL_ENVS = 64
@@ -62,10 +65,16 @@ cfg = PpoConfig(
     hidden_size=256, gamma=0.99, lam=0.95, epsilon=0.2, entropy_factor=ENT,
     critic_loss_factor=0.5, epoch=8, learning_rate=LR, clip_grad_norm=0.5,
     horizon=64, n_envs=N_ENVS, entropy_steps=ENT_STEPS, obs_norm=OBS_NORM,
+    sigma_scale_end=SIGMA_END, sigma_scale_steps=SIGMA_STEPS,
 )
 trainer = BatchedPpo(env, cfg, seed=SEED)
 train_step = jax.jit(trainer.train_step_fn())
 state = trainer.init()
+if RESUME:
+    from evomotion_tpu.train.ppo_batched import load_train_state
+
+    state = load_train_state(RESUME, state)
+    print(f"resumed from {RESUME} at iteration {int(state.iteration)}", flush=True)
 
 # greedy eval: deterministic mu policy, fixed eval envs, run the win horizon.
 # reports mean steps survived and mean return per env.
