@@ -63,6 +63,16 @@ def editor_state(b) -> dict:
     def v(x):
         return np.round(np.asarray(x, float), 6).tolist()
 
+    from ..physics.model import _quat_to_mat3
+
+    def world_point(member_name, local):
+        m = b._member(member_name)
+        return (
+            _quat_to_mat3(np.asarray(m.rotation, float))
+            @ np.asarray(local, float)
+            + np.asarray(m.translation, float)
+        )
+
     cons = []
     for c in b.constraints:
         kind = b.get_constraint_type(c.name)
@@ -70,6 +80,14 @@ def editor_state(b) -> dict:
             "name": c.name, "type": kind,
             "parent": c.parent_name, "child": c.child_name,
         }
+        # world-space joint marker (the reference renders each constraint as
+        # a NoBodyItem empty item at its frame, constraint.cpp get_empty_item)
+        if kind == "hinge":
+            info["pivot"] = v(world_point(c.parent_name, c.pivot_in_parent))
+            rp = _quat_to_mat3(np.asarray(b._member(c.parent_name).rotation, float))
+            info["axis"] = v(rp @ np.asarray(c.axis_in_parent, float))
+        else:
+            info["pivot"] = v(world_point(c.parent_name, c.frame_in_parent_pos))
         cons.append(info)
     return {
         "robot_name": b.get_robot_name(),
@@ -86,7 +104,12 @@ def editor_state(b) -> dict:
         ],
         "constraints": cons,
         "muscles": [
-            {"name": m.name, "a": m.item_a, "b": m.item_b} for m in b.muscles
+            {
+                "name": m.name, "a": m.item_a, "b": m.item_b,
+                "pa": v(world_point(m.item_a, m.pos_in_a)),
+                "pb": v(world_point(m.item_b, m.pos_in_b)),
+            }
+            for m in b.muscles
         ],
     }
 
@@ -341,6 +364,42 @@ function hitGizmo(px, py){
     if (Math.hypot(px-g.x, py-g.y) < 10) return g;
   return null;
 }
+// joint markers (reference NoBodyItem empties at constraint frames) and
+// muscle attachment lines
+let markerHits = [];
+function drawJointMarkers(){
+  markerHits = [];
+  if (!ROBOT) return;
+  for (const mu of ROBOT.muscles){
+    const a = project(mu.pa), b = project(mu.pb);
+    if (!a || !b) continue;
+    ctx.strokeStyle = 'rgba(230,160,90,0.8)'; ctx.lineWidth = 1.5;
+    ctx.beginPath(); ctx.moveTo(a[0],a[1]); ctx.lineTo(b[0],b[1]); ctx.stroke();
+  }
+  for (const c of ROBOT.constraints){
+    if (!c.pivot) continue;
+    const p = project(c.pivot);
+    if (!p) continue;
+    ctx.strokeStyle = c.type === 'hinge' ? '#7fd0ff' : '#d0a0ff';
+    ctx.lineWidth = 1.5;
+    ctx.beginPath();
+    ctx.moveTo(p[0], p[1]-5); ctx.lineTo(p[0]+5, p[1]);
+    ctx.lineTo(p[0], p[1]+5); ctx.lineTo(p[0]-5, p[1]);
+    ctx.closePath(); ctx.stroke();
+    if (c.axis){
+      const tip = project(add3(c.pivot, mul3(norm(c.axis), 0.25)));
+      if (tip){ ctx.beginPath(); ctx.moveTo(p[0],p[1]);
+                ctx.lineTo(tip[0],tip[1]); ctx.stroke(); }
+    }
+    markerHits.push({name: c.name, type: c.type,
+                     parent: c.parent, child: c.child, x: p[0], y: p[1]});
+  }
+}
+function hitMarker(px, py){
+  for (const m of markerHits)
+    if (Math.hypot(px-m.x, py-m.y) < 8) return m;
+  return null;
+}
 function axisAngleQuat(axis, ang){
   const s = Math.sin(ang/2);
   return [axis[0]*s, axis[1]*s, axis[2]*s, Math.cos(ang/2)];
@@ -386,6 +445,7 @@ function draw(){
     ctx.closePath(); ctx.fillStyle = t.col; ctx.fill();
   }
   drawCubeGrid();
+  drawJointMarkers();
   drawGizmos();
   ctx.fillStyle='#9ab'; ctx.font='13px monospace';
   ctx.fillText(`${ROBOT.robot_name}  members:${ROBOT.members.length} `+
@@ -488,6 +548,11 @@ cv.addEventListener('mouseup', async e=>{
     await api('update_member', args);
     await refresh();  // children followed via server-side BFS
   } else if (!d.moved){
+    const mk = hitMarker(e.offsetX, e.offsetY);
+    if (mk){  // constraint focus (BuilderOpenGlWindow constraint popups)
+      setMsg(`${mk.type} "${mk.name}": ${mk.parent} -> ${mk.child}`);
+      return;
+    }
     mkView();
     const ray = pixelRay(e.offsetX, e.offsetY);
     const out = await api('ray_cast_member', {from: ray.from, to: ray.to});
