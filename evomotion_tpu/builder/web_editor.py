@@ -241,51 +241,18 @@ def serve_editor(builder, port: int = 8801, max_requests: int | None = None):
 _EDITOR_JS = r"""
 const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
 const W = cv.width, H = cv.height, FOCAL = 1.1*H;
-let ROBOT = null, MESHES = null, selected = null, grabbing = false;
+let ROBOT = null, MESHES = null, selected = null;
 let cam = {yaw: 0.7, pitch: 0.45, dist: 4.0, target: [0, 0.3, 0]};
-function sub(a,b){return [a[0]-b[0],a[1]-b[1],a[2]-b[2]];}
-function add3(a,b){return [a[0]+b[0],a[1]+b[1],a[2]+b[2]];}
-function mul3(a,s){return [a[0]*s,a[1]*s,a[2]*s];}
-function cross(a,b){return [a[1]*b[2]-a[2]*b[1],a[2]*b[0]-a[0]*b[2],a[0]*b[1]-a[1]*b[0]];}
-function dot(a,b){return a[0]*b[0]+a[1]*b[1]+a[2]*b[2];}
-function norm(a){const l=Math.hypot(a[0],a[1],a[2])||1e-9;return [a[0]/l,a[1]/l,a[2]/l];}
-function qrot(q,v){
-  const u=[q[0],q[1],q[2]], w=q[3];
-  const t=cross(u,v).map(x=>2*x);
-  return [v[0]+w*t[0]+cross(u,t)[0], v[1]+w*t[1]+cross(u,t)[1], v[2]+w*t[2]+cross(u,t)[2]];
-}
-let view = null;
 function camPos(){
   const cp = Math.cos(cam.pitch), sp = Math.sin(cam.pitch);
   const cy = Math.cos(cam.yaw), sy = Math.sin(cam.yaw);
   return add3(cam.target, mul3([cp*cy, sp, cp*sy], cam.dist));
 }
-function mkView(){
-  const p = camPos();
-  const f = norm(sub(cam.target, p));
-  const s = norm(cross(f, [0,1,0]));
-  const u = cross(s, f);
-  view = {p: p, s: s, u: u, f: f};
-}
-function project(v){
-  const d = sub(v, view.p);
-  const x = dot(d, view.s), y = dot(d, view.u), z = dot(d, view.f);
-  if (z < 0.03) return null;
-  return [W/2 + FOCAL*x/z, H/2 - FOCAL*y/z, z];
-}
+function mkView(){ lookAt(camPos(), cam.target, [0,1,0]); }
 function pixelRay(px, py){
   // inverse of project(): world-space ray through the pixel
   const dir = norm(add3(add3(mul3(view.s,(px-W/2)/FOCAL), mul3(view.u,-(py-H/2)/FOCAL)), view.f));
   return {from: view.p, to: add3(view.p, mul3(dir, 100.0))};
-}
-const LIGHT = norm([0.4, 1.0, 0.6]);
-function shade(base, n, vdir, focus){
-  const diff = Math.max(dot(n, LIGHT), 0.0);
-  const h = norm(sub(LIGHT, vdir));
-  const spec = Math.pow(Math.max(dot(n,h),0), 16)*0.5;
-  let c = base.map(x=>Math.min(255, Math.round(255*(0.3*x + 0.7*x*diff) + 255*spec)));
-  if (focus) c = [Math.min(255,c[0]+70), c[1], Math.max(0,c[2]-30)];  // focus highlight
-  return c;
 }
 function memberColor(name){
   let h = 0;
@@ -400,16 +367,6 @@ function hitMarker(px, py){
     if (Math.hypot(px-m.x, py-m.y) < 8) return m;
   return null;
 }
-function axisAngleQuat(axis, ang){
-  const s = Math.sin(ang/2);
-  return [axis[0]*s, axis[1]*s, axis[2]*s, Math.cos(ang/2)];
-}
-function qmul(a,b){
-  return [a[3]*b[0]+a[0]*b[3]+a[1]*b[2]-a[2]*b[1],
-          a[3]*b[1]-a[0]*b[2]+a[1]*b[3]+a[2]*b[0],
-          a[3]*b[2]+a[0]*b[1]-a[1]*b[0]+a[2]*b[3],
-          a[3]*b[3]-a[0]*b[0]-a[1]*b[1]-a[2]*b[2]];
-}
 function draw(){
   mkView();
   ctx.fillStyle = '#10141c'; ctx.fillRect(0,0,W,H);
@@ -418,32 +375,13 @@ function draw(){
   drawGrid(tris);
   for (const m of ROBOT.members){
     const mesh = MESHES[m.shape];
-    const base = memberColor(m.name);
-    const focus = m.name === selected;
     const wv = mesh.verts.map(v=>{
       const sv = [v[0]*m.scale[0], v[1]*m.scale[1], v[2]*m.scale[2]];
       return add3(qrot(m.rot, sv), m.pos);
     });
-    const pv = wv.map(project);
-    for (const t of mesh.tris){
-      const [a,b,c] = t;
-      if(!pv[a]||!pv[b]||!pv[c]) continue;
-      const n = norm(cross(sub(wv[b],wv[a]), sub(wv[c],wv[a])));
-      const ctr = mul3(add3(add3(wv[a],wv[b]),wv[c]), 1/3);
-      const vdir = norm(sub(ctr, view.p));
-      if (dot(n, vdir) > 0) continue;
-      const col = shade(base, n, vdir, focus);
-      tris.push({z:(pv[a][2]+pv[b][2]+pv[c][2])/3, pts:[pv[a],pv[b],pv[c]],
-                 col:`rgb(${col[0]},${col[1]},${col[2]})`});
-    }
+    emitMesh(tris, wv, mesh.tris, memberColor(m.name), m.name === selected);
   }
-  tris.sort((p,q)=>q.z-p.z);
-  for(const t of tris){
-    ctx.beginPath();
-    ctx.moveTo(t.pts[0][0], t.pts[0][1]);
-    for(let i=1;i<t.pts.length;i++) ctx.lineTo(t.pts[i][0], t.pts[i][1]);
-    ctx.closePath(); ctx.fillStyle = t.col; ctx.fill();
-  }
+  paint(tris);
   drawCubeGrid();
   drawJointMarkers();
   drawGizmos();
@@ -600,6 +538,8 @@ refresh();
 
 
 def editor_html() -> str:
+    from ..viewer.js_core import JS_CORE
+
     return f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>evomotion robot builder</title>
 <style>
@@ -635,5 +575,6 @@ input{{width:95%;background:#1a2030;color:#cdd3df;border:1px solid #3a4663;margi
 </div>
 <canvas id="cv" width="1024" height="760"></canvas>
 <script>
+{JS_CORE}
 {_EDITOR_JS}
 </script></body></html>"""

@@ -64,6 +64,7 @@ def _body_meshes(model) -> list[dict]:
 _JS = r"""
 const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
 const W = cv.width, H = cv.height;
+const FOCAL = 1.2*H;
 // FollowCamera parity (camera.cpp:28-58)
 const cam = {smooth: [0,0,0], factor: 2.0, distance: 5.0,
              upAngle: Math.PI/2, sideAngle: 0.0, init: false};
@@ -74,36 +75,6 @@ function camStep(center, dt) {
                cam.smooth[1]+Math.sin(cam.upAngle),
                cam.smooth[2]+Math.sin(cam.sideAngle)*cam.distance];
   return {pos: pos, look: cam.smooth, up: [0,1,0]};
-}
-function sub(a,b){return [a[0]-b[0],a[1]-b[1],a[2]-b[2]];}
-function cross(a,b){return [a[1]*b[2]-a[2]*b[1],a[2]*b[0]-a[0]*b[2],a[0]*b[1]-a[1]*b[0]];}
-function dot(a,b){return a[0]*b[0]+a[1]*b[1]+a[2]*b[2];}
-function norm(a){const l=Math.hypot(a[0],a[1],a[2])||1e-9;return [a[0]/l,a[1]/l,a[2]/l];}
-function qrot(q,v){ // xyzw
-  const u=[q[0],q[1],q[2]], w=q[3];
-  const t=cross(u,v).map(x=>2*x);
-  return [v[0]+w*t[0]+cross(u,t)[0], v[1]+w*t[1]+cross(u,t)[1], v[2]+w*t[2]+cross(u,t)[2]];
-}
-let view = null;
-function mkView(c){ // lookAt basis
-  const f = norm(sub(c.look, c.pos));
-  const s = norm(cross(f, c.up));
-  const u = cross(s, f);
-  view = {p: c.pos, s: s, u: u, f: f};
-}
-const FOCAL = 1.2*H;
-function project(v){
-  const d = sub(v, view.p);
-  const x = dot(d, view.s), y = dot(d, view.u), z = dot(d, view.f);
-  if (z < 0.05) return null;
-  return [W/2 + FOCAL*x/z, H/2 - FOCAL*y/z, z];
-}
-const LIGHT = norm([0.4, 1.0, 0.6]);
-function shade(base, n, vdir){
-  const diff = Math.max(dot(n, LIGHT), 0.0);
-  const h = norm([LIGHT[0]-vdir[0], LIGHT[1]-vdir[1], LIGHT[2]-vdir[2]]);
-  const spec = Math.pow(Math.max(dot(n,h),0), 16)*0.5;  // Phong-ish specular
-  return base.map(c=>Math.min(255, Math.round(255*(0.25*c + 0.75*c*diff) + 255*spec)));
 }
 // TileGround parity (drawables/ground.cpp): two-color checkerboard
 function drawGround(tris){
@@ -122,38 +93,17 @@ function drawGround(tris){
 function drawFrame(pos, quat){
   const rootI = ROOT_BODY;
   const c = camStep(pos[rootI], 1/60);
-  mkView(c);
+  lookAt(c.pos, c.look, c.up);
   ctx.fillStyle = '#10141c'; ctx.fillRect(0,0,W,H);
   const tris = [];
   drawGround(tris);
   for(let b=0;b<MESHES.length;b++){
     const m = MESHES[b];
     if (m.static) continue;  // ground drawn as checkerboard
-    const wv = m.verts.map(v=>{
-      const r = qrot(quat[b], v);
-      return [r[0]+pos[b][0], r[1]+pos[b][1], r[2]+pos[b][2]];
-    });
-    const pv = wv.map(project);
-    for(const t of m.tris){
-      const [a,bb,cc]=t;
-      if(!pv[a]||!pv[bb]||!pv[cc]) continue;
-      const n = norm(cross(sub(wv[bb],wv[a]), sub(wv[cc],wv[a])));
-      const ctr = [(wv[a][0]+wv[bb][0]+wv[cc][0])/3,(wv[a][1]+wv[bb][1]+wv[cc][1])/3,
-                   (wv[a][2]+wv[bb][2]+wv[cc][2])/3];
-      const vdir = norm(sub(ctr, view.p));
-      if (dot(n, vdir) > 0) continue;  // backface
-      const col = shade(m.color.map(x=>x*255|0?x:x), n, vdir);
-      tris.push({z:(pv[a][2]+pv[bb][2]+pv[cc][2])/3, pts:[pv[a],pv[bb],pv[cc]],
-                 col:`rgb(${col[0]},${col[1]},${col[2]})`});
-    }
+    const wv = m.verts.map(v=>add3(qrot(quat[b], v), pos[b]));
+    emitMesh(tris, wv, m.tris, m.color, false);
   }
-  tris.sort((p,q)=>q.z-p.z);
-  for(const t of tris){
-    ctx.beginPath();
-    ctx.moveTo(t.pts[0][0], t.pts[0][1]);
-    for(let i=1;i<t.pts.length;i++) ctx.lineTo(t.pts[i][0], t.pts[i][1]);
-    ctx.closePath(); ctx.fillStyle = t.col; ctx.fill();
-  }
+  paint(tris);
   ctx.fillStyle='#9ab'; ctx.font='13px monospace';
   ctx.fillText(STATUS(), 12, 20);
 }
@@ -193,6 +143,8 @@ poll();
 
 
 def _html(meshes, root_body, ground_y, body_js):
+    from .js_core import JS_CORE
+
     return f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>evomotion viewer</title>
 <style>body{{margin:0;background:#10141c}}canvas{{display:block;margin:0 auto}}</style>
@@ -202,6 +154,7 @@ def _html(meshes, root_body, ground_y, body_js):
 const MESHES = {json.dumps(meshes)};
 const ROOT_BODY = {root_body};
 const GROUND_Y = {ground_y};
+{JS_CORE}
 {_JS}
 {body_js}
 </script></body></html>"""
