@@ -80,10 +80,16 @@ def train_batched(
             env_seed, env_factory, agent_params, num_envs, episodes, nb_saves,
             output_path, agent_name,
         )
+    if agent_name in ("actor_critic", "ppo_vanilla"):
+        return _train_batched_step(
+            env_seed, env_factory, agent_params, num_envs, episodes, nb_saves,
+            output_path, agent_name,
+        )
     if agent_name not in ("ppo_gae", "ppo", "ppo_gae_liquid"):
         raise SystemExit(
-            "batched training supports ppo_gae/ppo_gae_liquid/"
-            f"soft_actor_critic/soft_actor_critic_liquid/cross_q, not {agent_name}"
+            "batched training supports ppo_gae/ppo_gae_liquid/actor_critic/"
+            "ppo_vanilla/soft_actor_critic/soft_actor_critic_liquid/cross_q, "
+            f"not {agent_name}"
         )
     from ..train.checkpoint import save_component
     from ..train.ppo_batched import BatchedPpo, PpoConfig
@@ -172,6 +178,57 @@ def train_batched(
         save_component(save_dir, "critic", state.critic_params)
         save_component(save_dir, "actor_optimizer", state.actor_opt_state)
         save_component(save_dir, "critic_optimizer", state.critic_opt_state)
+    print()
+    return 0
+
+
+def _train_batched_step(
+    env_seed, env_factory, agent_params, num_envs, episodes, nb_saves,
+    output_path, agent_name,
+):
+    """A2C / PPO-vanilla batched tier (onpolicy_step_batched)."""
+    from ..train.onpolicy_step_batched import BatchedStepTrainer, StepTrainerConfig
+
+    env = env_factory.make(env_seed, mt_parity=False)
+    g = lambda k, d: type(d)(agent_params[k]) if k in agent_params else d
+    cfg = StepTrainerConfig(
+        hidden_size=g("hidden_size", 256),
+        batch_size=g("batch_size", 256),
+        learning_rate=g("learning_rate", 1e-3),
+        gamma=g("gamma", 0.99),
+        entropy_start_factor=g("entropy_start_factor", 0.01),
+        entropy_end_factor=g("entropy_end_factor", 1e-4),
+        entropy_steps=g("entropy_steps", 100000),
+        epsilon=g("epsilon", 0.2),
+        entropy_factor=g("entropy_factor", 0.01),
+        critic_loss_factor=g("critic_loss_factor", 0.5),
+        epoch=g("epoch", 8),
+        train_every=g("train_every", 1),
+        steps_per_iter=g("horizon", 64),
+        n_envs=num_envs,
+        buffer_capacity=g("replay_buffer_size", 262144),
+    )
+    trainer = BatchedStepTrainer(env, agent_name, cfg, seed=g("seed", env_seed))
+    train_step = jax.jit(trainer.train_step_fn())
+    state = trainer.init()
+    os.makedirs(output_path, exist_ok=True)
+
+    t0 = time.time()
+    for s in range(nb_saves):
+        for e in range(episodes):
+            state, metrics = train_step(state)
+            if e % 10 == 0 or e == episodes - 1:
+                m = jax.tree.map(float, metrics)
+                steps_done = (s * episodes + e + 1) * cfg.steps_per_iter * num_envs
+                sps = steps_done / (time.time() - t0)
+                _progress(
+                    f"save {s} actor={m.actor_loss:.4f} critic={m.critic_loss:.4f} "
+                    f"r/step={m.mean_reward:.4f} {sps:,.0f} env-steps/s",
+                    e + 1, episodes, t0,
+                )
+        save_dir = os.path.join(output_path, f"save_{s}")
+        os.makedirs(save_dir, exist_ok=True)
+        trainer.save(save_dir, state)
     print()
     return 0
 
