@@ -29,10 +29,31 @@ Interaction map (reference -> here):
 from __future__ import annotations
 
 import json
+import os
+import threading
 import traceback
 from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
 
 import numpy as np
+
+
+def _confine_path(path: str, workspace: str) -> str:
+    """Resolve `path` inside `workspace` and refuse escapes.
+
+    The editor HTTP API takes filesystem paths from the page; without
+    confinement any web page the user visits could blind-POST to the local
+    server (CSRF/DNS rebinding) and read/write arbitrary files. Relative
+    paths are taken relative to the workspace; absolute paths must resolve
+    inside it."""
+    root = os.path.realpath(workspace)
+    resolved = os.path.realpath(
+        path if os.path.isabs(path) else os.path.join(root, path)
+    )
+    if resolved != root and not resolved.startswith(root + os.sep):
+        raise ValueError(
+            f"path {path!r} escapes the editor workspace {root!r}"
+        )
+    return resolved
 
 
 def _shape_meshes() -> dict:
@@ -114,8 +135,11 @@ def editor_state(b) -> dict:
     }
 
 
-def apply_op(b, req: dict) -> dict:
-    """Dispatch one editor operation onto the builder environment."""
+def apply_op(b, req: dict, workspace: str | None = None) -> dict:
+    """Dispatch one editor operation onto the builder environment.
+
+    `workspace` (set by the HTTP server; None for programmatic use) confines
+    save_robot/load_robot paths to one directory."""
     op = req.get("op")
     a = req.get("args", {})
     if op == "ray_cast_member":
@@ -173,21 +197,47 @@ def apply_op(b, req: dict) -> dict:
     if op == "remove_muscle":
         return {"ok": bool(b.remove_muscle(a["name"]))}
     if op == "save_robot":
-        b.save_robot(a["path"])
-        return {"ok": True, "path": a["path"]}
+        path = _confine_path(a["path"], workspace) if workspace else a["path"]
+        b.save_robot(path)
+        return {"ok": True, "path": path}
     if op == "load_robot":
-        b.load_robot(a["path"])
+        path = _confine_path(a["path"], workspace) if workspace else a["path"]
+        b.load_robot(path)
         return {"ok": True}
     return {"ok": False, "error": f"unknown op {op}"}
 
 
-def serve_editor(builder, port: int = 8801, max_requests: int | None = None):
+def _is_local_host_value(value: str | None) -> bool:
+    """True iff a Host/Origin header names this local server.
+
+    Rejecting foreign Host values defends against DNS rebinding; rejecting
+    foreign Origins defends against CSRF from web pages the user visits
+    while `cli gui` is running."""
+    if not value:
+        return False
+    host = value.split("://", 1)[-1]  # Origin carries a scheme, Host doesn't
+    if host.startswith("["):
+        hostname = host.split("]", 1)[0] + "]"
+    elif ":" in host:
+        hostname = host.rsplit(":", 1)[0]
+    else:
+        hostname = host
+    return hostname in ("localhost", "127.0.0.1", "[::1]")
+
+
+def serve_editor(builder, port: int = 8801, max_requests: int | None = None,
+                 workspace: str | None = None):
     """Serve the editor at http://localhost:<port>/ (blocking).
 
     max_requests bounds the single-threaded test path (same pattern as
-    viewer/live.py serve_live after the round-2 deadlock fix)."""
+    viewer/live.py serve_live after the round-2 deadlock fix). Save/load
+    paths from the page are confined to `workspace` (default: the current
+    directory); the shared builder is mutated under one lock so concurrent
+    request threads serialize."""
     page = editor_html()
     served = {"n": 0}
+    ws = os.path.realpath(workspace or os.getcwd())
+    lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, body: bytes, ctype: str, code: int = 200):
@@ -197,10 +247,26 @@ def serve_editor(builder, port: int = 8801, max_requests: int | None = None):
             self.end_headers()
             self.wfile.write(body)
 
+        def _reject_foreign(self) -> bool:
+            """403 unless Host (and Origin, if present) are localhost."""
+            if not _is_local_host_value(self.headers.get("Host")):
+                self._send(b'{"ok": false, "error": "foreign Host"}',
+                           "application/json", 403)
+                return True
+            origin = self.headers.get("Origin")
+            if origin is not None and not _is_local_host_value(origin):
+                self._send(b'{"ok": false, "error": "foreign Origin"}',
+                           "application/json", 403)
+                return True
+            return False
+
         def do_GET(self):
             served["n"] += 1
+            if self._reject_foreign():
+                return
             if self.path == "/robot":
-                state = editor_state(builder)
+                with lock:
+                    state = editor_state(builder)
                 state["meshes"] = _shape_meshes()
                 self._send(json.dumps(state).encode(), "application/json")
             else:
@@ -208,10 +274,13 @@ def serve_editor(builder, port: int = 8801, max_requests: int | None = None):
 
         def do_POST(self):
             served["n"] += 1
+            if self._reject_foreign():
+                return
             n = int(self.headers.get("Content-Length", "0"))
             try:
                 req = json.loads(self.rfile.read(n) or b"{}")
-                out = apply_op(builder, req)
+                with lock:
+                    out = apply_op(builder, req, workspace=ws)
             except Exception as e:  # surface builder errors to the page
                 out = {"ok": False, "error": f"{e}", "trace": traceback.format_exc()}
             self._send(json.dumps(out).encode(), "application/json")
@@ -227,13 +296,19 @@ def serve_editor(builder, port: int = 8801, max_requests: int | None = None):
         except KeyboardInterrupt:
             pass
     else:
-        server = HTTPServer(("127.0.0.1", port), Handler)
+        class BoundedServer(HTTPServer):
+            timed_out = False
+
+            def handle_timeout(self):
+                self.timed_out = True
+
+        server = BoundedServer(("127.0.0.1", port), Handler)
         server.timeout = 30.0
         while served["n"] < max_requests:
-            before = served["n"]
+            server.timed_out = False
             server.handle_request()
-            if served["n"] == before:
-                break  # timed out: client went away
+            if server.timed_out:
+                break  # no request arrived in time: client went away
     server.server_close()
     return served["n"]
 

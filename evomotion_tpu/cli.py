@@ -92,6 +92,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     gui_p.add_argument("--port", type=int, default=8801)
     gui_p.add_argument("--robot", default=None, help="robot JSON to load")
+    gui_p.add_argument(
+        "--workspace", default=None,
+        help="directory save/load paths from the page are confined to "
+        "(default: current directory)",
+    )
+    gui_p.add_argument(
+        "--max-requests", type=int, default=None,
+        help="serve N requests then exit (bounded test/scripting path; "
+        "default: serve forever)",
+    )
     return parser
 
 
@@ -108,7 +118,8 @@ def main(argv=None):
         builder = RobotBuilderEnvironment()
         if args.robot:
             builder.load_robot(args.robot)
-        serve_editor(builder, port=args.port)
+        serve_editor(builder, port=args.port, max_requests=args.max_requests,
+                     workspace=args.workspace)
         return 0
 
     from .agents.factory import get_agent_factory

@@ -33,8 +33,8 @@ removed by ``model.strict_bullet = True`` (the parity configuration):
   PhysicsState.joint_lambda);
 - hull manifolds are generated vertex-vs-face for body/static pairs (deepest
   4 per pair); member-member (dyn-dyn) contacts run a SAT vertex/edge-point
-  vs-hull-face narrowphase on decimated proxy hulls with ONE contact per pair
-  (deepest penetrating surface point of either body in the other), on BOTH
+  vs-hull-face narrowphase on decimated proxy hulls with up to K=4 contacts
+  per pair (best 4 of the top-4-per-direction candidates), on BOTH
   backends — the reference runs Bullet GJK/EPA manifolds on the full hulls;
 - limit-row correction velocity is capped at LIMIT_BIAS_CAP (Bullet leaves
   it uncapped; strict mode removes the cap): prevents chatter where limit
@@ -45,8 +45,8 @@ Structural notes (not removed by strict mode):
 - the "xla" solver backend relaxes row ordering within a color phase (any
   valid Gauss-Seidel order); the "pallas" backend keeps Bullet's strict
   sequential order — pallas is the parity backend;
-- member-member manifolds are one SAT contact per pair on decimated proxy
-  hulls vs Bullet's GJK/EPA manifolds (see _dyn_narrowphase).
+- member-member manifolds are up-to-K=4 SAT contacts per pair on decimated
+  proxy hulls vs Bullet's GJK/EPA manifolds (see _dyn_narrowphase).
 """
 
 from __future__ import annotations

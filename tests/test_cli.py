@@ -38,10 +38,106 @@ def test_cli_train_then_run(tmp_path):
     assert "episode 0" in r.stdout
 
 
-def test_cli_gui_stub():
+def test_cli_gui_bounded():
+    """`gui` serves the editor; with --max-requests it exits after serving.
+
+    Regression test for the round-3 hang: main(["gui"]) blocked forever in
+    serve_editor's serve loop; the bounded path serves one page request and
+    returns 0."""
+    import json
+    import socket
+    import threading
+    import urllib.request
+
     from evomotion_tpu.cli import main
 
-    assert main(["gui"]) == 0
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    got = {}
+
+    def fetch():
+        for _ in range(100):
+            try:
+                got["page"] = urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/", timeout=5
+                ).read().decode()
+                return
+            except OSError:
+                import time
+
+                time.sleep(0.05)
+
+    t = threading.Thread(target=fetch, daemon=True)
+    t.start()
+    assert main(["gui", "--port", str(port), "--max-requests", "1"]) == 0
+    t.join(timeout=10)
+    assert "robot builder" in got.get("page", "")
+
+
+def _wait_listening(port, deadline=15.0):
+    """Block until a local server accepts connections on `port`."""
+    import socket
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < deadline:
+        try:
+            socket.create_connection(("127.0.0.1", port), timeout=1).close()
+            return
+        except OSError:
+            time.sleep(0.05)
+    raise TimeoutError(f"server on port {port} never came up")
+
+
+def test_editor_rejects_foreign_and_escaping_paths(tmp_path):
+    """CSRF/DNS-rebinding + path-confinement hardening (ADVICE r3)."""
+    import json
+    import socket
+    import threading
+    import urllib.request
+
+    from evomotion_tpu.builder.builder_env import RobotBuilderEnvironment
+    from evomotion_tpu.builder.web_editor import serve_editor
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    b = RobotBuilderEnvironment("bot")
+    b.add_member("torso", "cube", (0, 1, 0), (0, 0, 0, 1), (0.1, 0.1, 0.1),
+                 1.0, 0.5)
+    th = threading.Thread(
+        target=serve_editor, args=(b, port, 3, str(tmp_path)), daemon=True
+    )
+    th.start()
+    base = f"http://127.0.0.1:{port}"
+    _wait_listening(port)
+
+    def post(body, headers=None):
+        req = urllib.request.Request(
+            base + "/api", data=json.dumps(body).encode(), method="POST",
+            headers=headers or {},
+        )
+        try:
+            r = urllib.request.urlopen(req, timeout=10)
+            return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    # foreign Origin → 403, op not executed
+    code, out = post({"op": "save_robot", "args": {"path": "x.json"}},
+                     {"Origin": "http://evil.example"})
+    assert code == 403 and not out["ok"]
+    # path escaping the workspace → refused
+    code, out = post({"op": "save_robot", "args": {"path": "../escape.json"}})
+    assert not out["ok"] and "workspace" in out["error"]
+    assert not (tmp_path.parent / "escape.json").exists()
+    # in-workspace save works
+    code, out = post({"op": "save_robot", "args": {"path": "ok.json"}})
+    assert out["ok"] and (tmp_path / "ok.json").exists()
+    th.join(timeout=30)
+    assert not th.is_alive()
 
 
 def test_cli_kv_extraction():

@@ -85,6 +85,9 @@ def test_editor_serves_page_and_api():
     t.start()
 
     base = f"http://127.0.0.1:{port}"
+    from tests.test_cli import _wait_listening
+
+    _wait_listening(port)
     page = urllib.request.urlopen(base + "/", timeout=10).read().decode()
     assert "robot builder" in page
     robot = json.loads(urllib.request.urlopen(base + "/robot", timeout=10).read())

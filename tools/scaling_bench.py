@@ -98,6 +98,13 @@ def parent(args) -> None:
             "horizon": args.horizon, "platform": args.platform,
             "weak_scaling": results,
         }
+        if args.platform == "cpu":
+            artifact["note"] = (
+                "virtual CPU devices oversubscribing one host — validates "
+                "sharding correctness only; efficiency numbers are NOT an "
+                "ICI scaling measurement and are not comparable to the "
+                ">=80% TPU target (BASELINE.md scaling row)"
+            )
         path = os.path.join(REPO, "SCALING.json")
         with open(path, "w") as f:
             json.dump(artifact, f, indent=1)
