@@ -196,6 +196,18 @@ def apply_op(b, req: dict, workspace: str | None = None) -> dict:
         return {"ok": bool(ok)}
     if op == "remove_muscle":
         return {"ok": bool(b.remove_muscle(a["name"]))}
+    if op == "infer_start":
+        return _infer_start(b, a, workspace)
+    if op == "infer_state":
+        sess = _INFER.get("session")
+        if sess is None:
+            return {"ok": False, "error": "no infer session"}
+        out = sess.advance()
+        out.update(ok=True, names=_INFER["names"], bodies=_INFER["bodies"])
+        return out
+    if op == "infer_stop":
+        _INFER["session"] = None
+        return {"ok": True}
     if op == "save_robot":
         path = _confine_path(a["path"], workspace) if workspace else a["path"]
         b.save_robot(path)
@@ -223,6 +235,71 @@ def _is_local_host_value(value: str | None) -> bool:
     else:
         hostname = host
     return hostname in ("localhost", "127.0.0.1", "[::1]")
+
+
+# live infer session state (one per process, like the reference's one
+# InferOpenGlWindow tab per "Start inference" click)
+_INFER: dict = {"session": None, "names": [], "bodies": []}
+
+
+def _infer_start(b, a: dict, workspace: str | None) -> dict:
+    """Load an agent checkpoint and step the current robot live.
+
+    The web analog of InferSettingsWindow -> InferOpenGlWindow
+    (src/gui/widget/infer/infer_settings.cpp:54-70, opengl_window.cpp:227-241):
+    robot JSON + agent checkpoint dir -> a robot_walk env stepped by the
+    loaded agent once per client poll. Like the reference — which hardcodes
+    CrossQAgent(256, 1024, 128, 1, 3e-4, 0.99, 1, 2) — the agent family and
+    architecture default to that CrossQ config, overridable via args."""
+    import os as _os
+    import tempfile
+
+    from ..agents.factory import get_agent_factory
+    from ..envs.registry import get_environment_factory
+    from ..viewer.live import LiveSession
+
+    agent_dir = a["agent_dir"]
+    if workspace:
+        agent_dir = _confine_path(agent_dir, workspace)
+    robot_path = a.get("robot_path")
+    if robot_path:
+        if workspace:
+            robot_path = _confine_path(robot_path, workspace)
+    else:
+        # infer on the robot currently in the editor
+        fd, robot_path = tempfile.mkstemp(suffix=".json", prefix="infer_robot_")
+        _os.close(fd)
+        b.save_robot(robot_path)
+
+    env_name = a.get("env", "robot_walk")
+    env_params = dict(a.get("env_params", {}))
+    env_params.setdefault("skeleton_json_path", robot_path)
+    env = get_environment_factory(env_name, env_params).make(
+        int(a.get("seed", 1234)), mt_parity=False
+    )
+    agent_name = a.get("agent", "cross_q")
+    agent_params = {
+        "seed": "12345", "actor_hidden_size": "256",
+        "critic_hidden_size": "1024", "batch_size": "128", "epoch": "1",
+        "learning_rate": "3e-4", "gamma": "0.99", "replay_buffer_size": "1",
+        "train_every": "2", "tau": "0.005",
+        **{k: str(v) for k, v in a.get("agent_params", {}).items()},
+    }
+    agent = get_agent_factory(agent_name, agent_params).create_agent(
+        env.observation_size, env.action_size
+    )
+    agent.load(agent_dir)
+    agent.set_eval(True)
+    _INFER["session"] = LiveSession(env, agent, int(a.get("seed", 1234)))
+    # member-name -> body-index map so the client can pose the meshes
+    names, bodies = [], []
+    for name in (m.name for m in b.members):
+        if name in env.model.body_names:
+            names.append(name)
+            bodies.append(env.model.body_names.index(name))
+    _INFER["names"], _INFER["bodies"] = names, bodies
+    return {"ok": True, "obs_dim": env.observation_size,
+            "action_dim": env.action_size, "names": names, "bodies": bodies}
 
 
 def serve_editor(builder, port: int = 8801, max_requests: int | None = None,
@@ -608,6 +685,48 @@ async function loadRobot(){
   const out = await api('load_robot', {path: p});
   if (out.ok) { setMsg('loaded ' + p); selected = null; await refresh(); }
 }
+// --- infer tab (reference InferSettingsWindow -> InferOpenGlWindow:
+// load robot + agent checkpoint, watch it act; one env step per poll) ---
+let inferTimer = null, inferMap = null, basePoses = null;
+async function inferStart(){
+  if (inferTimer) return setMsg('infer already running');
+  const dir = document.getElementById('agent_dir').value;
+  const out = await api('infer_start', {agent_dir: dir});
+  if (!out.ok) return;
+  inferMap = {names: out.names, bodies: out.bodies};
+  basePoses = ROBOT.members.map(m=>({name: m.name, pos: m.pos.slice(), rot: m.rot.slice()}));
+  inferTimer = setInterval(inferPoll, 33);
+  setMsg('infer running');
+}
+let inferBusy = false;
+async function inferPoll(){
+  if (inferBusy) return;  // env steps once per *served* poll; don't pile up
+  inferBusy = true;
+  try {
+    const out = await api('infer_state', {});
+    if (!out.ok){ await inferStop(); return; }
+    for (let i = 0; i < inferMap.names.length; i++){
+      const m = ROBOT.members.find(x=>x.name===inferMap.names[i]);
+      if (!m) continue;
+      const b = inferMap.bodies[i];
+      m.pos = out.pos[b]; m.rot = out.quat[b];
+    }
+    draw();
+    setMsg(`infer step ${out.step} ep ${out.episode} r ${out.reward.toFixed(3)}`);
+  } finally { inferBusy = false; }
+}
+async function inferStop(){
+  if (inferTimer){ clearInterval(inferTimer); inferTimer = null; }
+  await api('infer_stop', {});
+  if (basePoses){
+    for (const p of basePoses){
+      const m = ROBOT.members.find(x=>x.name===p.name);
+      if (m){ m.pos = p.pos; m.rot = p.rot; }
+    }
+    basePoses = null;
+  }
+  draw(); setMsg('infer stopped');
+}
 refresh();
 """
 
@@ -643,9 +762,13 @@ input{{width:95%;background:#1a2030;color:#cdd3df;border:1px solid #3a4663;margi
     <button onclick="applyFields()">apply</button>
   </div>
   <hr>
-  <div>robot json path<input id="path" value="/tmp/robot.json"></div>
+  <div>robot json path<input id="path" value="robot.json"></div>
   <button onclick="saveRobot()">save</button>
   <button onclick="loadRobot()">load</button>
+  <hr>
+  <div>infer: agent checkpoint dir<input id="agent_dir" value="save_final"></div>
+  <button onclick="inferStart()">start infer</button>
+  <button onclick="inferStop()">stop</button>
   <div id="msg"></div>
 </div>
 <canvas id="cv" width="1024" height="760"></canvas>

@@ -27,6 +27,12 @@ class StepResult(NamedTuple):
     reward: jnp.ndarray  # scalar f32
     done: jnp.ndarray  # scalar bool
     valid: jnp.ndarray  # scalar bool: False while the env is settling
+    # True on the done step iff the episode ended by reaching the win
+    # horizon (the reference's win branch: cartpole.cpp:116, robot_walk.cpp
+    # :64-69); False on fail terminations and non-terminal steps. Lets
+    # trainers log win-rate / episode-length splits (train.cpp:67-78 shows
+    # per-episode progress in the reference driver).
+    win: jnp.ndarray
 
 
 class Env(Protocol):

@@ -208,7 +208,7 @@ class CartPole:
         state = state._replace(
             step_idx=state.step_idx + 1, last_vel=vel, last_ang_vel=ang_vel
         )
-        return state, StepResult(obs, reward, done, jnp.bool_(True))
+        return state, StepResult(obs, reward, done, jnp.bool_(True), win)
 
     def step(self, state: CartPoleState, action) -> tuple[CartPoleState, StepResult]:
         """One env step with built-in non-blocking auto-reset (see base.py)."""
@@ -225,11 +225,14 @@ class CartPole:
             reward=jnp.float32(0.0),
             done=jnp.bool_(False),
             valid=jnp.bool_(False),
+            win=jnp.bool_(False),
         )
         # the step after settling completes emits the episode's first obs
         finishing = settling & (state.settle_left <= 1)
         fin_state, fin_res = self._compute_step(settle_state)
-        fin_res = fin_res._replace(done=jnp.bool_(False), valid=jnp.bool_(True))
+        fin_res = fin_res._replace(
+            done=jnp.bool_(False), valid=jnp.bool_(True), win=jnp.bool_(False)
+        )
 
         # running branch
         run_state, run_res = self._compute_step(state)

@@ -233,7 +233,7 @@ class CartPole3d:
         state = state._replace(
             step_idx=state.step_idx + 1, lasts=new_lasts, last_plan_ang_vec=plan_ang_vel
         )
-        return state, StepResult(obs, reward, done, jnp.bool_(True))
+        return state, StepResult(obs, reward, done, jnp.bool_(True), win)
 
     def _teleported(self, physics: PhysicsState, key, reset_idx=None):
         pos = physics.pos
@@ -302,10 +302,13 @@ class CartPole3d:
             reward=jnp.float32(0.0),
             done=jnp.bool_(False),
             valid=jnp.bool_(False),
+            win=jnp.bool_(False),
         )
         finishing = settling & (state.settle_left <= 1)
         fin_state, fin_res = self._compute_step(settle_state)
-        fin_res = fin_res._replace(done=jnp.bool_(False), valid=jnp.bool_(True))
+        fin_res = fin_res._replace(
+            done=jnp.bool_(False), valid=jnp.bool_(True), win=jnp.bool_(False)
+        )
 
         run_state, run_res = self._compute_step(state)
         key, sub = jax.random.split(run_state.key)

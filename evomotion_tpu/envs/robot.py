@@ -228,7 +228,7 @@ class _RobotEnvBase:
             last_ang_vel=ang,
             touch_taken=jnp.bool_(True),
         )
-        return state, StepResult(obs, reward, done, jnp.bool_(True))
+        return state, StepResult(obs, reward, done, jnp.bool_(True), win)
 
     def _bank_velocity(self, physics):
         return self._reward_velocity(physics)
@@ -336,10 +336,13 @@ class _RobotEnvBase:
             reward=jnp.float32(0.0),
             done=jnp.bool_(False),
             valid=jnp.bool_(False),
+            win=jnp.bool_(False),
         )
         finishing = settling & (state.settle_left <= 1)
         fin_state, fin_res = self._compute_step(settle_state)
-        fin_res = fin_res._replace(done=jnp.bool_(False), valid=jnp.bool_(True))
+        fin_res = fin_res._replace(
+            done=jnp.bool_(False), valid=jnp.bool_(True), win=jnp.bool_(False)
+        )
 
         run_state, run_res = self._compute_step(state)
         key, sub = jax.random.split(run_state.key)

@@ -67,7 +67,7 @@ def shard_train_state(state, mesh: Mesh, axis_name: str = "env"):
 
 # train-state fields whose leaves carry the env batch on dim 0 (see
 # PpoTrainState / OffPolicyTrainState)
-_ENV_BATCH_FIELDS = ("env_state", "obs", "prev_valid")
+_ENV_BATCH_FIELDS = ("env_state", "obs", "prev_valid", "ep_steps")
 
 
 def make_sharded_train_step(trainer, mesh: Mesh, axis_name: str = "env"):

@@ -75,6 +75,7 @@ class OffPolicyTrainState(NamedTuple):
     prev_valid: jnp.ndarray  # [N] input-obs validity for the next transition
     key: jnp.ndarray
     iteration: jnp.ndarray
+    ep_steps: jnp.ndarray  # [N] int32: valid steps in each env's open episode
 
 
 class OffPolicyMetrics(NamedTuple):
@@ -85,6 +86,10 @@ class OffPolicyMetrics(NamedTuple):
     mean_reward: jnp.ndarray
     episodes_done: jnp.ndarray
     updates_done: jnp.ndarray
+    # per-episode diagnostics over episodes that ENDED this iteration
+    # (reference progress line, train.cpp:67-78)
+    mean_ep_len: jnp.ndarray
+    win_rate: jnp.ndarray
 
 
 class BatchedOffPolicy:
@@ -132,7 +137,9 @@ class BatchedOffPolicy:
         key = jax.random.PRNGKey(self.seed) if key is None else key
         ke, key = jax.random.split(key)
         env_keys = jax.random.split(ke, cfg.n_envs)
-        env_state, first = jax.vmap(self.env.reset)(env_keys)
+        # jit the batched reset: eagerly it dispatches the settle fori_loop
+        # op-by-op (minutes over a remote-TPU tunnel); one compile instead
+        env_state, first = jax.jit(jax.vmap(self.env.reset))(env_keys)
         s, a = self.env.observation_size, self.env.action_size
         cap = self.capacity
         ring = Ring(
@@ -155,6 +162,7 @@ class BatchedOffPolicy:
             else jnp.ones((cfg.n_envs,), bool),
             key=key,
             iteration=jnp.int32(0),
+            ep_steps=jnp.zeros((cfg.n_envs,), jnp.int32),
         )
 
     # -- one jitted iteration ----------------------------------------------
@@ -167,32 +175,39 @@ class BatchedOffPolicy:
         n_events = self.updates_per_iter
         update = self._update_fn
 
-        def rollout(carry_params, env_state, obs, prev_valid, key):
+        def rollout(carry_params, env_state, obs, prev_valid, ep_steps, key):
             actor_params = carry_params[0]
 
             def step(c, k):
-                env_state, obs, prev_valid = c
+                env_state, obs, prev_valid, ep_steps = c
                 mu, sigma = actor_apply(actor_params, obs)
                 action = D.truncated_normal_sample(k, mu, sigma)
                 env_state, res = env_step(env_state, action)
                 trainable = prev_valid & res.valid
+                grown = ep_steps + res.valid.astype(jnp.int32)
+                ended = res.done & res.valid
+                done_len = jnp.where(ended, grown, 0)
+                ep_steps = jnp.where(ended, 0, grown)
                 out = (obs, action, res.reward, res.done, res.obs,
-                       trainable.astype(jnp.float32))
-                return (env_state, res.obs, res.valid), out
+                       trainable.astype(jnp.float32), done_len,
+                       res.win & ended)
+                return (env_state, res.obs, res.valid, ep_steps), out
 
             keys = jax.random.split(key, cfg.steps_per_iter)
-            (env_state, obs, prev_valid), traj = jax.lax.scan(
-                step, (env_state, obs, prev_valid), keys
+            (env_state, obs, prev_valid, ep_steps), traj = jax.lax.scan(
+                step, (env_state, obs, prev_valid, ep_steps), keys
             )
-            return env_state, obs, prev_valid, traj
+            return env_state, obs, prev_valid, ep_steps, traj
 
         def train_step(state: OffPolicyTrainState):
             key, k_roll, k_upd = jax.random.split(state.key, 3)
-            env_state, obs, prev_valid, traj = rollout(
-                state.carry, state.env_state, state.obs, state.prev_valid, k_roll
+            env_state, obs, prev_valid, ep_steps, traj = rollout(
+                state.carry, state.env_state, state.obs, state.prev_valid,
+                state.ep_steps, k_roll
             )
+            done_lens, wins = traj[6], traj[7]
             t_obs, t_act, t_rew, t_done, t_next, t_valid = jax.tree.map(
-                lambda x: x.reshape((block,) + x.shape[2:]), traj
+                lambda x: x.reshape((block,) + x.shape[2:]), traj[:6]
             )
 
             ring = state.ring
@@ -244,8 +259,10 @@ class BatchedOffPolicy:
             state = OffPolicyTrainState(
                 carry=carry, ring=ring, env_state=env_state, obs=obs,
                 prev_valid=prev_valid, key=key, iteration=state.iteration + 1,
+                ep_steps=ep_steps,
             )
             nv = jnp.maximum(t_valid.sum(), 1.0)
+            n_ended = jnp.maximum((done_lens > 0).sum(), 1)
             metrics = OffPolicyMetrics(
                 actor_loss=a_l.mean(),
                 critic_1_loss=c1_l.mean(),
@@ -254,6 +271,8 @@ class BatchedOffPolicy:
                 mean_reward=(t_rew * t_valid).sum() / nv,
                 episodes_done=t_done.sum(),
                 updates_done=jnp.where(has_enough, n_events * cfg.epoch, 0),
+                mean_ep_len=done_lens.sum() / n_ended,
+                win_rate=wins.sum() / n_ended,
             )
             return state, metrics
 
@@ -308,6 +327,7 @@ class OffPolicyLiquidTrainState(NamedTuple):
     prev_valid: jnp.ndarray
     key: jnp.ndarray
     iteration: jnp.ndarray
+    ep_steps: jnp.ndarray  # [N] int32
 
 
 class BatchedOffPolicyLiquid:
@@ -346,7 +366,9 @@ class BatchedOffPolicyLiquid:
         key = jax.random.PRNGKey(self.seed) if key is None else key
         ke, key = jax.random.split(key)
         env_keys = jax.random.split(ke, cfg.n_envs)
-        env_state, first = jax.vmap(self.env.reset)(env_keys)
+        # jit the batched reset: eagerly it dispatches the settle fori_loop
+        # op-by-op (minutes over a remote-TPU tunnel); one compile instead
+        env_state, first = jax.jit(jax.vmap(self.env.reset))(env_keys)
         s, a = self.env.observation_size, self.env.action_size
         cap, nn = self.capacity, cfg.neurons
         ring = LiquidRing(
@@ -372,6 +394,7 @@ class BatchedOffPolicyLiquid:
             else jnp.ones((cfg.n_envs,), bool),
             key=key,
             iteration=jnp.int32(0),
+            ep_steps=jnp.zeros((cfg.n_envs,), jnp.int32),
         )
 
     def train_step_fn(self):
@@ -397,7 +420,7 @@ class BatchedOffPolicyLiquid:
             t1p, t2p = carry[6], carry[7]
 
             def step(c, k):
-                env_state, obs, xs, prev_valid = c
+                env_state, obs, xs, prev_valid, ep_steps = c
                 mu, sigma, ax = liquid_actor_apply(actor_p, xs["actor"], obs, u)
                 action = D.truncated_normal_sample(k, mu, sigma)
                 # advance all five hidden chains with (obs, action), as the
@@ -424,17 +447,25 @@ class BatchedOffPolicyLiquid:
                     * (validf * new_xs[n] + (1.0 - validf) * xs[n])
                     for n in NETS
                 }
+                grown = ep_steps + res.valid.astype(jnp.int32)
+                ended = res.done & res.valid
+                done_len = jnp.where(ended, grown, 0)
+                ep_steps = jnp.where(ended, 0, grown)
                 out = (obs, action, res.reward, res.done, res.obs,
-                       trainable.astype(jnp.float32), xs, new_xs)
-                return (env_state, res.obs, next_xs, res.valid), out
+                       trainable.astype(jnp.float32), xs, new_xs,
+                       done_len, res.win & ended)
+                return (env_state, res.obs, next_xs, res.valid, ep_steps), out
 
             keys = jax.random.split(k_roll, cfg.steps_per_iter)
-            (env_state, obs, xs, prev_valid), traj = jax.lax.scan(
-                step, (state.env_state, state.obs, state.xs, state.prev_valid),
+            (env_state, obs, xs, prev_valid, ep_steps), traj = jax.lax.scan(
+                step, (state.env_state, state.obs, state.xs, state.prev_valid,
+                       state.ep_steps),
                 keys,
             )
+            done_lens, wins = traj[8], traj[9]
             (t_obs, t_act, t_rew, t_done, t_next, t_valid, t_x, t_nx) = (
-                jax.tree.map(lambda x: x.reshape((block,) + x.shape[2:]), traj)
+                jax.tree.map(lambda x: x.reshape((block,) + x.shape[2:]),
+                             traj[:8])
             )
 
             ring = state.ring
@@ -489,8 +520,10 @@ class BatchedOffPolicyLiquid:
             state = OffPolicyLiquidTrainState(
                 carry=carry, ring=ring, env_state=env_state, obs=obs, xs=xs,
                 prev_valid=prev_valid, key=key, iteration=state.iteration + 1,
+                ep_steps=ep_steps,
             )
             nv = jnp.maximum(t_valid.sum(), 1.0)
+            n_ended = jnp.maximum((done_lens > 0).sum(), 1)
             metrics = OffPolicyMetrics(
                 actor_loss=a_l.mean(),
                 critic_1_loss=c1_l.mean(),
@@ -499,6 +532,8 @@ class BatchedOffPolicyLiquid:
                 mean_reward=(t_rew * t_valid).sum() / nv,
                 episodes_done=t_done.sum(),
                 updates_done=jnp.where(has_enough, n_events * cfg.epoch, 0),
+                mean_ep_len=done_lens.sum() / n_ended,
+                win_rate=wins.sum() / n_ended,
             )
             return state, metrics
 

@@ -114,7 +114,9 @@ class BatchedStepTrainer:
         key = jax.random.PRNGKey(self.seed) if key is None else key
         ke, key = jax.random.split(key)
         env_keys = jax.random.split(ke, cfg.n_envs)
-        env_state, first = jax.vmap(self.env.reset)(env_keys)
+        # jit the batched reset: eagerly it dispatches the settle fori_loop
+        # op-by-op (minutes over a remote-TPU tunnel); one compile instead
+        env_state, first = jax.jit(jax.vmap(self.env.reset))(env_keys)
         s, a = self.env.observation_size, self.env.action_size
         cap = self.capacity
         ring = Ring(

@@ -81,6 +81,7 @@ class PpoTrainState(NamedTuple):
     obs: jnp.ndarray  # [N, S]
     key: jnp.ndarray
     iteration: jnp.ndarray
+    ep_steps: jnp.ndarray  # [N] int32: valid steps in each env's open episode
     # running obs-normalization stats (identity when cfg.obs_norm is off)
     obs_mean: jnp.ndarray  # [S]
     obs_var: jnp.ndarray  # [S]
@@ -128,6 +129,12 @@ class PpoMetrics(NamedTuple):
     mean_reward: jnp.ndarray
     episodes_done: jnp.ndarray
     mean_episode_return: jnp.ndarray
+    # per-episode diagnostics over the episodes that ENDED this iteration
+    # (the reference's progress line shows per-episode metrics,
+    # train.cpp:67-78): mean completed-episode length in valid steps, and
+    # the fraction that ended by reaching the win horizon vs failing.
+    mean_ep_len: jnp.ndarray
+    win_rate: jnp.ndarray
 
 
 def save_train_state(folder: str, state: PpoTrainState) -> None:
@@ -213,7 +220,9 @@ class BatchedPpo:
         )
         critic_params = critic_init(kc, self.env.observation_size, cfg.hidden_size)
         env_keys = jax.random.split(ke, cfg.n_envs)
-        env_state, first = jax.vmap(self.env.reset)(env_keys)
+        # jit the batched reset: eagerly it dispatches the settle fori_loop
+        # op-by-op (minutes over a remote-TPU tunnel); one compile instead
+        env_state, first = jax.jit(jax.vmap(self.env.reset))(env_keys)
         s = self.env.observation_size
         return PpoTrainState(
             actor_params=actor_params,
@@ -224,6 +233,7 @@ class BatchedPpo:
             obs=first.obs,
             key=key,
             iteration=jnp.int32(0),
+            ep_steps=jnp.zeros((cfg.n_envs,), jnp.int32),
             obs_mean=jnp.zeros((s,)),
             obs_var=jnp.ones((s,)),
             obs_count=jnp.float32(0.0),
@@ -239,7 +249,7 @@ class BatchedPpo:
             sig_scale = _sigma_scale(cfg, state.iteration)
 
             def step(carry, key):
-                env_state, obs = carry
+                env_state, obs, ep_steps = carry
                 obs_in = normalize_obs(state, obs) if cfg.obs_norm else obs
                 mu, sigma = actor_apply(state.actor_params, obs_in)
                 sigma = sigma * sig_scale
@@ -247,14 +257,23 @@ class BatchedPpo:
                 log_prob = D.truncated_normal_log_pdf(action, mu, sigma)
                 value = critic_apply(state.critic_params, obs_in)
                 env_state, res = env_step(env_state, action)
-                out = (obs, action, log_prob, value, res.reward, res.done, res.valid)
-                return (env_state, res.obs), out
+                # per-episode bookkeeping: count valid frames; emit the
+                # finished length (and its win flag) on the done step
+                grown = ep_steps + res.valid.astype(jnp.int32)
+                ended = res.done & res.valid
+                done_len = jnp.where(ended, grown, 0)
+                ep_steps = jnp.where(ended, 0, grown)
+                out = (obs, action, log_prob, value, res.reward, res.done,
+                       res.valid, done_len, res.win & ended)
+                return (env_state, res.obs, ep_steps), out
 
             keys = jax.random.split(state.key, cfg.horizon + 1)
-            (env_state, last_obs), traj = jax.lax.scan(
-                step, (state.env_state, state.obs), keys[1:]
+            (env_state, last_obs, ep_steps), traj = jax.lax.scan(
+                step, (state.env_state, state.obs, state.ep_steps), keys[1:]
             )
-            state = state._replace(env_state=env_state, obs=last_obs, key=keys[0])
+            state = state._replace(
+                env_state=env_state, obs=last_obs, key=keys[0], ep_steps=ep_steps
+            )
             return state, traj
 
         return rollout
@@ -266,7 +285,8 @@ class BatchedPpo:
         def train_step(state: PpoTrainState):
             pre_state = state  # stats the rollout's log_probs/values were
             state, traj = rollout(state)  # computed under
-            obs, actions, log_probs, values, rewards, dones, valids = traj
+            (obs, actions, log_probs, values, rewards, dones, valids,
+             done_lens, wins) = traj
             # shapes: [T, N, ...]; rewards/dones/valids [T, N].
             # value of an invalid (settling) next step must not leak into the
             # GAE; those boundaries are closed by done=1 at the terminal step.
@@ -336,6 +356,7 @@ class BatchedPpo:
                 # rollout and its stored log_probs share one normalizer
                 state = _update_obs_stats(state, traj[0], maskf)
             n_done = dones.sum()
+            n_ended = jnp.maximum((done_lens > 0).sum(), 1)
             metrics = PpoMetrics(
                 actor_loss=a_losses.mean(),
                 critic_loss=c_losses.mean(),
@@ -343,6 +364,8 @@ class BatchedPpo:
                 episodes_done=n_done,
                 mean_episode_return=(rewards * maskf[..., 0]).sum()
                 / jnp.maximum(n_done, 1.0),
+                mean_ep_len=done_lens.sum() / n_ended,
+                win_rate=wins.sum() / n_ended,
             )
             return state, metrics
 

@@ -54,6 +54,7 @@ class PpoLiquidTrainState(NamedTuple):
     critic_x: jnp.ndarray  # [N, neurons]
     key: jnp.ndarray
     iteration: jnp.ndarray
+    ep_steps: jnp.ndarray  # [N] int32: valid steps in each env's open episode
 
 
 class BatchedPpoLiquid:
@@ -83,7 +84,9 @@ class BatchedPpoLiquid:
             kc, self.env.observation_size, cfg.neurons, cfg.unfolding_steps
         )
         env_keys = jax.random.split(ke, cfg.n_envs)
-        env_state, first = jax.vmap(self.env.reset)(env_keys)
+        # jit the batched reset: eagerly it dispatches the settle fori_loop
+        # op-by-op (minutes over a remote-TPU tunnel); one compile instead
+        env_state, first = jax.jit(jax.vmap(self.env.reset))(env_keys)
         return PpoLiquidTrainState(
             actor_params=actor_params,
             critic_params=critic_params,
@@ -95,6 +98,7 @@ class BatchedPpoLiquid:
             critic_x=liquid_cell_first_x(cfg.neurons, (cfg.n_envs,)),
             key=key,
             iteration=jnp.int32(0),
+            ep_steps=jnp.zeros((cfg.n_envs,), jnp.int32),
         )
 
     def rollout_fn(self):
@@ -104,7 +108,7 @@ class BatchedPpoLiquid:
 
         def rollout(state: PpoLiquidTrainState):
             def step(carry, key):
-                env_state, obs, ax, cx = carry
+                env_state, obs, ax, cx, ep_steps = carry
                 mu, sigma, new_ax = liquid_actor_apply(
                     state.actor_params, ax, obs, u
                 )
@@ -120,20 +124,25 @@ class BatchedPpoLiquid:
                 donef = res.done[:, None].astype(jnp.float32)
                 nax = (1.0 - donef) * (validf * new_ax + (1.0 - validf) * ax)
                 ncx = (1.0 - donef) * (validf * new_cx + (1.0 - validf) * cx)
+                grown = ep_steps + res.valid.astype(jnp.int32)
+                ended = res.done & res.valid
+                done_len = jnp.where(ended, grown, 0)
+                ep_steps = jnp.where(ended, 0, grown)
                 out = (
                     obs, action, log_prob, value, res.reward, res.done,
-                    res.valid, ax, cx,
+                    res.valid, ax, cx, done_len, res.win & ended,
                 )
-                return (env_state, res.obs, nax, ncx), out
+                return (env_state, res.obs, nax, ncx, ep_steps), out
 
             keys = jax.random.split(state.key, cfg.horizon + 1)
-            (env_state, last_obs, ax, cx), traj = jax.lax.scan(
-                step, (state.env_state, state.obs, state.actor_x, state.critic_x),
+            (env_state, last_obs, ax, cx, ep_steps), traj = jax.lax.scan(
+                step, (state.env_state, state.obs, state.actor_x, state.critic_x,
+                       state.ep_steps),
                 keys[1:],
             )
             state = state._replace(
                 env_state=env_state, obs=last_obs, actor_x=ax, critic_x=cx,
-                key=keys[0],
+                key=keys[0], ep_steps=ep_steps,
             )
             return state, traj
 
@@ -147,7 +156,7 @@ class BatchedPpoLiquid:
         def train_step(state: PpoLiquidTrainState):
             state, traj = rollout(state)
             (obs, actions, log_probs, values, rewards, dones, valids,
-             ax_traj, cx_traj) = traj
+             ax_traj, cx_traj, done_lens, wins) = traj
 
             bootstrap, _ = liquid_critic_apply(
                 state.critic_params, state.critic_x, state.obs, u
@@ -203,6 +212,7 @@ class BatchedPpoLiquid:
                 iteration=state.iteration + 1,
             )
             n_done = dones.sum()
+            n_ended = jnp.maximum((done_lens > 0).sum(), 1)
             metrics = PpoMetrics(
                 actor_loss=a_losses.mean(),
                 critic_loss=c_losses.mean(),
@@ -210,6 +220,8 @@ class BatchedPpoLiquid:
                 episodes_done=n_done,
                 mean_episode_return=(rewards * maskf[..., 0]).sum()
                 / jnp.maximum(n_done, 1.0),
+                mean_ep_len=done_lens.sum() / n_ended,
+                win_rate=wins.sum() / n_ended,
             )
             return state, metrics
 

@@ -47,7 +47,8 @@ def test_hidden_state_advances_and_resets():
     rollout = jax.jit(trainer.rollout_fn())
     state = trainer.init()
     state, traj = rollout(state)
-    (obs, actions, log_probs, values, rewards, dones, valids, ax, cx) = traj
+    (obs, actions, log_probs, values, rewards, dones, valids, ax, cx,
+     done_lens, wins) = traj
     ax = np.asarray(ax)
     dones = np.asarray(dones)
     valids = np.asarray(valids)

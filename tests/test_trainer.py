@@ -39,7 +39,7 @@ def test_rollout_masks_settling_steps():
     rollout = jax.jit(trainer.rollout_fn())
     state = trainer.init()
     state, traj = rollout(state)
-    obs, actions, log_probs, values, rewards, dones, valids = traj
+    obs, actions, log_probs, values, rewards, dones, valids, done_lens, wins = traj
     assert obs.shape == (32, 8, 7)
     dones = np.asarray(dones)
     valids = np.asarray(valids)

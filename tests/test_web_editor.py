@@ -119,6 +119,62 @@ def test_editor_serves_page_and_api():
     assert not t.is_alive()
 
 
+def test_editor_infer_tab(tmp_path):
+    """Infer ops: load an agent checkpoint, step the current robot live.
+
+    The web analog of InferSettingsWindow -> InferOpenGlWindow
+    (infer_settings.cpp:54-70): build a tiny robot in the editor, save a
+    fresh CrossQ checkpoint (the reference's hardcoded infer agent family),
+    infer_start with it, poll infer_state a few frames, infer_stop."""
+    import numpy as np
+
+    from evomotion_tpu.agents.cross_q import CrossQAgent
+
+    b = RobotBuilderEnvironment("bot")
+    q = [0.0, 0.0, 0.0, 1.0]
+    assert b.add_member("torso", "cube", (0, 0.6, 0), q, (0.4, 0.2, 0.3), 2.0, 0.5)
+    assert b.add_member("leg", "cube", (0.5, 0.3, 0), q, (0.08, 0.3, 0.08), 0.5, 0.5)
+    assert b.set_root("torso")
+    assert b.attach_hinge_constraint(
+        "hip", "torso", "leg", (0.45, 0.6, 0.0), (0, 0, 1), -0.5, 0.5
+    )
+    assert b.add_muscle("m0", "torso", "leg", (0.2, 0.0, 0.0), (0.0, 0.2, 0.0))
+
+    # a robot_walk env over this robot defines the agent's spaces
+    robot_json = tmp_path / "tiny.json"
+    b.save_robot(str(robot_json))
+    from evomotion_tpu.envs.robot import RobotWalkFactory
+
+    env = RobotWalkFactory(
+        {"skeleton_json_path": str(robot_json), "reset_frames": "2"}
+    ).make(1, mt_parity=False)
+    agent = CrossQAgent(12345, env.observation_size, env.action_size,
+                        16, 16, 8, 1, 3e-4, 0.99, 1, 2)
+    ckpt = tmp_path / "save_final"
+    ckpt.mkdir()
+    agent.save(str(ckpt))
+
+    out = apply_op(b, {"op": "infer_start", "args": {
+        "agent_dir": str(ckpt),
+        "env_params": {"reset_frames": "2"},
+        "agent_params": {"actor_hidden_size": "16", "critic_hidden_size": "16",
+                         "batch_size": "8"},
+    }}, workspace=str(tmp_path))
+    assert out["ok"], out
+    assert out["names"] and len(out["names"]) == len(out["bodies"]) == 2
+
+    poses = []
+    for _ in range(3):
+        st = apply_op(b, {"op": "infer_state"})
+        assert st["ok"]
+        assert not np.isnan(np.asarray(st["pos"])).any()
+        poses.append(np.asarray(st["pos"]))
+    # the env actually advances between polls
+    assert np.abs(poses[0] - poses[-1]).max() > 0
+    assert apply_op(b, {"op": "infer_stop"})["ok"]
+    assert not apply_op(b, {"op": "infer_state"})["ok"]
+
+
 def test_editor_html_self_contained():
     page = editor_html()
     assert "<script>" in page and "fetch('/robot')" in page
