@@ -558,10 +558,160 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
         nrms.append(jnp.einsum("pcn,pcjn->pjn", ohc, cand_n))
         g = jnp.where(ohc > 0, 1e9, g)
 
-    marg = model.margin[ia] + model.margin[ib]  # static numpy
     point = jnp.stack(pts, 1)  # [P, K, 3, B]
     n = jnp.stack(nrms, 1)
-    gap = jnp.stack(gaps, 1) - jnp.asarray(marg)[:, None, None]
+    raw_gap = jnp.stack(gaps, 1)  # [P, K, B] pre-margin
+
+    # near-duplicate dedup (engine.DEDUP_TOL): the merge can keep both
+    # directions' representation of one physical contact; deactivate any
+    # selected point within tolerance of an earlier (deeper) selection
+    from .engine import DEDUP_TOL, _get_hull_edges
+
+    d2 = jnp.sum((point[:, :, None] - point[:, None, :]) ** 2, 3)  # [P,K,K,B]
+    later = (jnp.arange(kd)[None, :, None] > jnp.arange(kd)[None, None, :])[..., None]
+    raw_gap = jnp.where(((d2 < DEDUP_TOL**2) & later).any(2), 1e9, raw_gap)
+
+    # edge-edge separating axes (mirror of engine._dyn_narrowphase): uniform
+    # support SAT over face axes of both hulls + cross(edge, edge) axes; if
+    # the minimal-overlap axis is an edge cross axis (0.95 face preference),
+    # the manifold becomes that single edge contact. Own-hull projections on
+    # own face normals are static (precomputed numpy intervals); only the
+    # other hull's projections are computed per env.
+    big = 1e9
+    npair = len(ia)
+    edirs, emask = _get_hull_edges(model)
+    ea = _qrot(quat[ia][:, None], jnp.asarray(edirs[ia])[..., None])  # [P,E,3,B]
+    eb = _qrot(quat[ib][:, None], jnp.asarray(edirs[ib])[..., None])
+    cr = _cross(ea[:, :, None], eb[:, None, :])  # [P,E,E,3,B]
+    cr_len = jnp.sqrt(jnp.sum(cr * cr, 3))
+    cr_ok = (
+        (cr_len > 1e-6)
+        & (jnp.asarray(emask[ia])[:, :, None, None] > 0)
+        & (jnp.asarray(emask[ib])[:, None, :, None] > 0)
+    )
+    ne = edirs.shape[1]
+    e_axes = (cr / jnp.maximum(cr_len, 1e-12)[:, :, :, None]).reshape(
+        npair, ne * ne, 3, -1
+    )
+    e_ok = cr_ok.reshape(npair, ne * ne, -1)
+
+    ha = hull[ia]  # static [P,V,3]
+    hb = hull[ib]
+    ma = hmask[ia] > 0
+    mb = hmask[ib] > 0
+
+    def _supports(h, m, axes_local):
+        """min/max projection of a static hull on per-env local axes
+        [P,Q,3,B] -> ([P,Q,B], [P,Q,B]); broadcast-fused like the face
+        tensor (static verts x rotated axes feeding the reduce)."""
+        hx = jnp.asarray(h[:, :, 0])[:, None, :, None]
+        hy = jnp.asarray(h[:, :, 1])[:, None, :, None]
+        hz = jnp.asarray(h[:, :, 2])[:, None, :, None]
+        proj = (
+            hx * axes_local[:, :, None, 0]
+            + hy * axes_local[:, :, None, 1]
+            + hz * axes_local[:, :, None, 2]
+        )  # [P, Q, V, B]
+        mm = jnp.asarray(m)[:, None, :, None]
+        return (
+            jnp.min(jnp.where(mm, proj, big), 2),
+            jnp.max(jnp.where(mm, proj, -big), 2),
+        )
+
+    def sat_overlap(axes_w, ok, stat_a=None, stat_b=None):
+        """Interval overlap along world axes [P,Q,3,B]; stat_a/stat_b give
+        a body's own static (local-frame) min/max when the axes are its own
+        face normals."""
+        if stat_a is None:
+            amin, amax = _supports(ha, ma, _qrot(_qconj(quat[ia])[:, None], axes_w))
+        else:
+            amin, amax = stat_a
+        if stat_b is None:
+            bmin, bmax = _supports(hb, mb, _qrot(_qconj(quat[ib])[:, None], axes_w))
+        else:
+            bmin, bmax = stat_b
+        oa = jnp.sum(axes_w * pos[ia][:, None], 2)  # [P,Q,B]
+        ob = jnp.sum(axes_w * pos[ib][:, None], 2)
+        overlap = jnp.minimum(oa + amax, ob + bmax) - jnp.maximum(
+            oa + amin, ob + bmin
+        )
+        return jnp.where(ok, overlap, big)
+
+    # static own-face projection intervals (numpy, computed once per trace)
+    def _static_iv(h, m, fn, fm):
+        proj = np.einsum("pvj,pqj->pqv", h, fn[..., :3])
+        mm = m[:, None, :] > 0
+        iv_min = np.where(fm > 0, np.where(mm, proj, big).min(2), big)
+        iv_max = np.where(fm > 0, np.where(mm, proj, -big).max(2), -big)
+        return (jnp.asarray(iv_min)[..., None], jnp.asarray(iv_max)[..., None])
+
+    fmask_a = model.np_face_mask[ia]
+    fmask_b = model.np_face_mask[ib]
+    fa_w = _qrot(quat[ia][:, None], jnp.asarray(face[ia][..., :3])[..., None])
+    fb_w = _qrot(quat[ib][:, None], jnp.asarray(face[ib][..., :3])[..., None])
+    pen_fa = sat_overlap(
+        fa_w, jnp.asarray(fmask_a)[..., None] > 0,
+        stat_a=_static_iv(hull[ia], hmask[ia], face[ia], fmask_a),
+    )
+    pen_fb = sat_overlap(
+        fb_w, jnp.asarray(fmask_b)[..., None] > 0,
+        stat_b=_static_iv(hull[ib], hmask[ib], face[ib], fmask_b),
+    )
+    pen_f = jnp.minimum(jnp.min(pen_fa, 1), jnp.min(pen_fb, 1))  # [P,B]
+    pen_edges = sat_overlap(e_axes, e_ok)  # [P, E*E, B]
+    e_best = jnp.argmin(pen_edges, 1)  # [P,B]
+    iota_e = jnp.arange(ne * ne)[None, :, None]
+    ohe = (iota_e == e_best[:, None]).astype(jnp.float32)  # [P,E*E,B]
+    pen_e = jnp.sum(ohe * pen_edges, 1)  # [P,B]
+    ax_e = jnp.einsum("pqn,pqjn->pjn", ohe, e_axes)  # [P,3,B]
+    sgn = jnp.sign(jnp.sum(ax_e * (pos[ia] - pos[ib]), 1))
+    ax_e = ax_e * jnp.where(sgn == 0.0, 1.0, sgn)[:, None]  # point B -> A
+
+    # supporting edge lines: support vertex of A along -L / B along +L, each
+    # on the winning edge-direction line; contact = midpoint of the closest
+    # points of the two lines (a bare support vertex tie-breaks to an edge
+    # endpoint far from the crossing)
+    la_e = _qrot(_qconj(quat[ia]), ax_e)  # [P,3,B]
+    lb_e = _qrot(_qconj(quat[ib]), ax_e)
+
+    def _support_pt(h, m, axis_local, take_max):
+        hx = jnp.asarray(h[:, :, 0])[:, :, None]
+        hy = jnp.asarray(h[:, :, 1])[:, :, None]
+        hz = jnp.asarray(h[:, :, 2])[:, :, None]
+        proj = hx * axis_local[:, None, 0] + hy * axis_local[:, None, 1] + hz * axis_local[:, None, 2]
+        proj = jnp.where(jnp.asarray(m)[:, :, None], proj, -big if take_max else big)
+        v_id = (jnp.argmax if take_max else jnp.argmin)(proj, 1)  # [P,B]
+        ohv = (jnp.arange(h.shape[1])[None, :, None] == v_id[:, None]).astype(jnp.float32)
+        return jnp.einsum("pvn,pvj->pjn", ohv, jnp.asarray(h))  # local [P,3,B]
+
+    sa = pos[ia] + _qrot(quat[ia], _support_pt(hull[ia], hmask[ia], la_e, False))
+    sb = pos[ib] + _qrot(quat[ib], _support_pt(hull[ib], hmask[ib], lb_e, True))
+    iota_ne = jnp.arange(ne)[None, :, None]
+    oha = (iota_ne == (e_best // ne)[:, None]).astype(jnp.float32)  # [P,E,B]
+    ohb = (iota_ne == (e_best % ne)[:, None]).astype(jnp.float32)
+    da = jnp.einsum("pen,pejn->pjn", oha, ea)
+    db = jnp.einsum("pen,pejn->pjn", ohb, eb)
+    r_ab = sa - sb
+    b_dd = jnp.sum(da * db, 1)
+    d_dr = jnp.sum(da * r_ab, 1)
+    e_dr = jnp.sum(db * r_ab, 1)
+    denom = 1.0 - b_dd * b_dd
+    safe = jnp.abs(denom) > 1e-9
+    t1 = jnp.where(safe, (b_dd * e_dr - d_dr) / jnp.where(safe, denom, 1.0), 0.0)
+    t2 = jnp.where(safe, (e_dr - b_dd * d_dr) / jnp.where(safe, denom, 1.0), 0.0)
+    pt_e = 0.5 * (sa + t1[:, None] * da + sb + t2[:, None] * db)
+
+    use_edge = (pen_e < big / 2) & (pen_e > 0) & (pen_e < 0.95 * pen_f)  # [P,B]
+    ue3 = use_edge[:, None, None]
+    point = jnp.where(ue3, point.at[:, 0].set(pt_e), point)
+    n = jnp.where(ue3, n.at[:, 0].set(ax_e), n)
+    edge_gap = raw_gap.at[:, 0].set(-pen_e)
+    if kd > 1:
+        edge_gap = edge_gap.at[:, 1:].set(1e9)  # single-point edge manifold
+    raw_gap = jnp.where(use_edge[:, None], edge_gap, raw_gap)
+
+    marg = model.margin[ia] + model.margin[ib]  # static numpy
+    gap = raw_gap - jnp.asarray(marg)[:, None, None]
     return point, n, gap
 
 

@@ -707,6 +707,62 @@ def _n_dyn_contacts(model: PhysicsModel) -> int:
     return len(model.dyn_pair_body) * model.member_manifold_k
 
 
+# near-duplicate manifold points: the best-K-of-2K merge can pick both
+# directions' representation of the SAME physical contact (A-vertex-in-B-face
+# and B-vertex-in-A-face at nearly the same point); keeping both would
+# double-count that normal row and stiffen the response vs Bullet's clipped
+# manifolds (ADVICE r3). Points closer than this are deduplicated.
+DEDUP_TOL = 0.01
+
+_get_edges_cached = _model_cache("hull_edges")
+_EDGE_DIRS = 4  # unique edge directions kept per proxy hull
+
+
+def _get_hull_edges(model: PhysicsModel):
+    """Per-body unique proxy-hull edge directions (local frame), for the
+    edge-edge separating-axis test: returns ([NB, E, 3], [NB, E]) numpy.
+
+    Directions are deduped up to sign (cos > 0.99) and ranked by total edge
+    length, keeping the top E — a box contributes exactly its 3 axes. Bodies
+    outside every dyn pair get empty masks."""
+
+    def compute():
+        from scipy.spatial import ConvexHull
+
+        nb = model.np_hull.shape[0]
+        dirs = np.zeros((nb, _EDGE_DIRS, 3), np.float32)
+        mask = np.zeros((nb, _EDGE_DIRS), np.float32)
+        for i in range(nb):
+            if model.np_hull_mask[i].sum() < 4:
+                continue
+            pts = model.np_hull[i][model.np_hull_mask[i] > 0].astype(np.float64)
+            try:
+                hull = ConvexHull(pts, qhull_options="QJ")
+            except Exception:
+                continue
+            acc: list[list] = []  # [unit dir, total length]
+            for s in hull.simplices:
+                for a_, b_ in ((0, 1), (1, 2), (2, 0)):
+                    v = pts[s[a_]] - pts[s[b_]]
+                    ln = float(np.linalg.norm(v))
+                    if ln < 1e-9:
+                        continue
+                    d = v / ln
+                    for ent in acc:
+                        if abs(float(np.dot(d, ent[0]))) > 0.99:
+                            ent[1] += ln
+                            break
+                    else:
+                        acc.append([d, ln])
+            acc.sort(key=lambda e: -e[1])
+            for j, (dv, _) in enumerate(acc[:_EDGE_DIRS]):
+                dirs[i, j] = dv
+                mask[i, j] = 1.0
+        return dirs, mask
+
+    return _get_edges_cached(model, None, compute)
+
+
 def _dyn_narrowphase(model: PhysicsModel, pos, quat):
     """Up-to-K SAT vertex-face contacts per dyn pair (proxy hulls).
 
@@ -774,7 +830,112 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
     neg, sel = jax.lax.top_k(-cand_gap, kd)  # K deepest candidates
     point = jnp.take_along_axis(cand_pt, sel[..., None], 1)
     n = jnp.take_along_axis(cand_n, sel[..., None], 1)
-    gap = -neg - (marg[ia] + marg[ib])[:, None]
+    raw_gap = -neg  # pre-margin
+
+    # near-duplicate dedup (see DEDUP_TOL): deactivate any selected point
+    # within tolerance of an earlier (deeper) selection
+    d2 = jnp.sum((point[:, :, None] - point[:, None, :]) ** 2, -1)  # [P,K,K]
+    later = jnp.arange(kd)[None, :, None] > jnp.arange(kd)[None, None, :]
+    raw_gap = jnp.where(
+        ((d2 < DEDUP_TOL**2) & later).any(-1), 1e9, raw_gap
+    )
+
+    # edge-edge separating axes (Bullet's EPA finds the minimal-penetration
+    # direction on the full hulls, item.cpp:17-52; vertex-face SAT alone
+    # pushes along a face normal even when two members are wedged edge-on-
+    # edge). Uniform support-based SAT: for every candidate axis (face
+    # normals of both hulls + cross(edge_a, edge_b)) project both hulls and
+    # take the interval overlap; if the minimal-overlap axis is an EDGE
+    # cross axis (strictly smaller than every face axis, 0.95 feature-
+    # preference factor like box-box solvers use), the manifold becomes the
+    # single edge contact along that axis.
+    edirs, emask = _get_hull_edges(model)
+    ea = maths.quat_rotate(quat[ia][:, None], jnp.asarray(edirs[ia]))  # [P,E,3]
+    eb = maths.quat_rotate(quat[ib][:, None], jnp.asarray(edirs[ib]))
+    cr = jnp.cross(ea[:, :, None, :], eb[:, None, :, :])  # [P,E,E,3]
+    cr_len = jnp.linalg.norm(cr, axis=-1)
+    cr_ok = (
+        (cr_len > 1e-6)
+        & (jnp.asarray(emask[ia])[:, :, None] > 0)
+        & (jnp.asarray(emask[ib])[:, None, :] > 0)
+    )
+    npair = len(ia)
+    e_axes = (cr / jnp.maximum(cr_len, 1e-12)[..., None]).reshape(npair, -1, 3)
+    e_ok = cr_ok.reshape(npair, -1)
+    fa_w = maths.quat_rotate(quat[ia][:, None], jnp.asarray(face[ia][..., :3]))
+    fb_w = maths.quat_rotate(quat[ib][:, None], jnp.asarray(face[ib][..., :3]))
+    f_axes = jnp.concatenate([fa_w, fb_w], 1)  # [P, 2F, 3]
+    f_ok = jnp.concatenate(
+        [jnp.asarray(model.np_face_mask[ia]), jnp.asarray(model.np_face_mask[ib])], 1
+    ) > 0
+    ha = jnp.asarray(hull[ia])  # [P,V,3]
+    hb = jnp.asarray(hull[ib])
+    ma = jnp.asarray(hmask[ia]) > 0  # [P,V]
+    mb = jnp.asarray(hmask[ib]) > 0
+    big = 1e9
+
+    def sat_overlap(axes_w, ok):
+        """Interval overlap of the two hulls along each world axis [P,Q,3]."""
+        la = maths.quat_rotate_inv(quat[ia][:, None], axes_w)
+        lb = maths.quat_rotate_inv(quat[ib][:, None], axes_w)
+        proj_a = jnp.einsum("pvj,pqj->pqv", ha, la)  # [P,Q,V]
+        proj_b = jnp.einsum("pvj,pqj->pqv", hb, lb)
+        amin = jnp.min(jnp.where(ma[:, None], proj_a, big), -1)
+        amax = jnp.max(jnp.where(ma[:, None], proj_a, -big), -1)
+        bmin = jnp.min(jnp.where(mb[:, None], proj_b, big), -1)
+        bmax = jnp.max(jnp.where(mb[:, None], proj_b, -big), -1)
+        oa = jnp.sum(axes_w * pos[ia][:, None], -1)
+        ob = jnp.sum(axes_w * pos[ib][:, None], -1)
+        overlap = jnp.minimum(oa + amax, ob + bmax) - jnp.maximum(
+            oa + amin, ob + bmin
+        )
+        return jnp.where(ok, overlap, big)
+
+    pen_f = jnp.min(sat_overlap(f_axes, f_ok), -1)  # face-axis MTV [P]
+    pen_edges = sat_overlap(e_axes, e_ok)  # [P, E*E]
+    e_best = jnp.argmin(pen_edges, -1)
+    pen_e = jnp.take_along_axis(pen_edges, e_best[:, None], 1)[:, 0]
+    ax_e = jnp.take_along_axis(e_axes, e_best[:, None, None], 1)[:, 0]
+    sgn = jnp.sign(jnp.sum(ax_e * (pos[ia] - pos[ib]), -1))
+    ax_e = ax_e * jnp.where(sgn == 0, 1.0, sgn)[:, None]  # point B -> A
+    # support points: A's deepest vertex along -L, B's along +L; the edge
+    # contact sits midway (closest-edge-point approximation on proxy hulls)
+    la_e = maths.quat_rotate_inv(quat[ia], ax_e)
+    lb_e = maths.quat_rotate_inv(quat[ib], ax_e)
+    pa_v = jnp.where(ma, jnp.einsum("pvj,pj->pv", ha, la_e), big).argmin(-1)
+    pb_v = jnp.where(mb, jnp.einsum("pvj,pj->pv", hb, lb_e), -big).argmax(-1)
+    sa = pos[ia] + maths.quat_rotate(
+        quat[ia], jnp.take_along_axis(ha, pa_v[:, None, None], 1)[:, 0]
+    )
+    sb = pos[ib] + maths.quat_rotate(
+        quat[ib], jnp.take_along_axis(hb, pb_v[:, None, None], 1)[:, 0]
+    )
+    # the support vertices lie on the supporting EDGES (lines through them
+    # along the winning pair's edge directions); the contact point is the
+    # midpoint of the closest points of those two lines (the support vertex
+    # alone tie-breaks to an edge endpoint, putting the contact far from the
+    # actual crossing and corrupting the torque)
+    ne = edirs.shape[1]
+    da = jnp.take_along_axis(ea, (e_best // ne)[:, None, None], 1)[:, 0]
+    db = jnp.take_along_axis(eb, (e_best % ne)[:, None, None], 1)[:, 0]
+    r_ab = sa - sb
+    b_dd = jnp.sum(da * db, -1)
+    d_dr = jnp.sum(da * r_ab, -1)
+    e_dr = jnp.sum(db * r_ab, -1)
+    denom = 1.0 - b_dd * b_dd
+    safe = jnp.abs(denom) > 1e-9
+    t1 = jnp.where(safe, (b_dd * e_dr - d_dr) / jnp.where(safe, denom, 1.0), 0.0)
+    t2 = jnp.where(safe, (e_dr - b_dd * d_dr) / jnp.where(safe, denom, 1.0), 0.0)
+    pt_e = 0.5 * (sa + t1[:, None] * da + sb + t2[:, None] * db)
+    use_edge = (pen_e < big / 2) & (pen_e > 0) & (pen_e < 0.95 * pen_f)
+    point = jnp.where(use_edge[:, None, None], point.at[:, 0].set(pt_e), point)
+    n = jnp.where(use_edge[:, None, None], n.at[:, 0].set(ax_e), n)
+    edge_gap = raw_gap.at[:, 0].set(-pen_e)
+    if kd > 1:
+        edge_gap = edge_gap.at[:, 1:].set(1e9)  # single-point edge manifold
+    raw_gap = jnp.where(use_edge[:, None], edge_gap, raw_gap)
+
+    gap = raw_gap - (marg[ia] + marg[ib])[:, None]
     return point, n, gap
 
 

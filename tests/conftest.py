@@ -24,5 +24,27 @@ jax.config.update("jax_platforms", "cpu")
 
 def pytest_configure(config):
     config.addinivalue_line(
-        "markers", "slow: long-running test (multi-process distributed smoke)"
+        "markers",
+        "slow: long-running test (>50 s on this box: strict-mode rollouts, "
+        "determinism goldens, multi-process smoke). Skipped by default so "
+        "`pytest tests` finishes in bounded time; run the full gate with "
+        "`pytest tests --runslow` (nightly) or select them with `-m slow`.",
     )
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (the full nightly gate)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    if config.getoption("--runslow") or config.getoption("-m"):
+        return  # explicit marker expressions manage their own selection
+    skip = pytest.mark.skip(reason="slow: default gate skips; use --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

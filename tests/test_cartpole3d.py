@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from evomotion_tpu.envs.cartpole3d import CartPole3d, CartPole3dFactory
 
@@ -50,6 +51,7 @@ def test_factory_defaults_and_motor_force_scaling():
     assert float(env.model.slider_max_motor_force[1]) == 32.0 * (1 + 2)
 
 
+@pytest.mark.slow
 def test_batched_trainer_works_on_all_envs():
     """One train step of the batched PPO on each registered env (tiny)."""
     from evomotion_tpu.envs.registry import get_environment_factory

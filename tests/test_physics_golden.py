@@ -8,6 +8,7 @@ this environment — see PARITY.md known gaps).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from evomotion_tpu.physics.engine import init_state, physics_step
 from evomotion_tpu.physics.model import ModelBuilder
@@ -83,6 +84,7 @@ def test_projectile_trajectory():
     np.testing.assert_allclose(float(state2.pos[0, 2]), 1.0 * t, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_determinism_same_seed_same_trajectory():
     """Two identical jitted runs produce bit-identical trajectories."""
     from evomotion_tpu.envs.robot import RobotWalk

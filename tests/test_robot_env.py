@@ -39,6 +39,7 @@ def test_reset_and_obs_sane(walk_env):
     assert abs(float(res.reward) - root_vz) < 1e-5
 
 
+@pytest.mark.slow
 def test_time_bank_fails_when_standing_still():
     # small bank via factory param so residual settle jitter (which can
     # occasionally push root v_z above the thresholds) cannot stall the test
@@ -61,6 +62,7 @@ def test_time_bank_fails_when_standing_still():
     assert first <= 100
 
 
+@pytest.mark.slow
 def test_jump_reward_uses_vy_plus_vz():
     env = RobotJump()
     assert env.settle_total == 10  # 1/6 s at 60 Hz, single settle loop
@@ -78,6 +80,7 @@ def test_factory_params():
     assert env.settle_total == 10
 
 
+@pytest.mark.slow
 def test_robot_walk_strict_bullet_runs_stably():
     """strict_bullet mode (uncapped limit bias, joint warm start, slip
     friction — engine.py module docstring) drives the full robot_walk env:
