@@ -218,8 +218,20 @@ class _RobotEnvBase:
             remaining - 1,
             jnp.where(vel >= self.target_velocity, remaining + 1, remaining),
         )
-        win = state.curr_step >= self.max_steps
-        fail = self._fail(remaining)
+        # non-finite guard (no reference counterpart — Bullet would assert):
+        # a policy-driven contact explosion can overflow the solver; NaN
+        # compares False everywhere, so without this the time bank never
+        # drains, the episode never ends, and one NaN env poisons every
+        # batched consumer (observed: CrossQ run walk_r4, it ~1925). Treat
+        # it as a fail termination with sanitized outputs; auto-reset
+        # teleports the env back to a clean state.
+        finite = jnp.isfinite(obs).all() & jnp.isfinite(reward)
+        obs = jnp.where(finite, obs, jnp.zeros_like(obs))
+        reward = jnp.where(finite, reward, jnp.float32(0.0))
+        lin = jnp.where(finite, lin, jnp.zeros_like(lin))
+        ang = jnp.where(finite, ang, jnp.zeros_like(ang))
+        win = (state.curr_step >= self.max_steps) & finite
+        fail = self._fail(remaining) | ~finite
         done = win | fail
         state = state._replace(
             curr_step=state.curr_step + 1,
@@ -273,6 +285,8 @@ class _RobotEnvBase:
             contact_lambda=jnp.zeros_like(physics.contact_lambda),
             contact_vid=jnp.full_like(physics.contact_vid, -1),
             joint_lambda=jnp.zeros_like(physics.joint_lambda),
+            dyn_lambda=jnp.zeros_like(physics.dyn_lambda),
+            dyn_vid=jnp.full_like(physics.dyn_vid, -1),
         )
 
     def reset(self, key) -> tuple[RobotEnvState, StepResult]:
@@ -318,6 +332,9 @@ class _RobotEnvBase:
 
     def step(self, state: RobotEnvState, action):
         settling = state.settle_left > 0
+        # guard: a NaN action would propagate into the persistent motor
+        # target (held through resets) and re-poison every future episode
+        action = jnp.where(jnp.isfinite(action), action, jnp.zeros_like(action))
         target = jnp.where(settling, state.motor_target, action * self._speed)
         powered = jnp.where(settling, state.motors_on, jnp.bool_(True))
         physics, diag = self._phys_step(state.physics, target, powered)

@@ -520,11 +520,12 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
         fid = jnp.argmax(d, axis=2).astype(jnp.float32)  # [P, V, B]
         dist = jnp.where(jnp.asarray(hmask[widx])[:, :, None] > 0, dist, 1e9)
 
-        pts, nrms, gaps = [], [], []
+        pts, nrms, gaps, vids = [], [], [], []
         g = dist
         for _ in range(kd):
             v_id = jnp.argmin(g, axis=1)  # [P, B]
             gaps.append(jnp.min(g, axis=1))
+            vids.append(v_id.astype(jnp.float32))
             ohv = (iota_v == v_id[:, None]).astype(jnp.float32)  # [P, V, B]
             hsel = jnp.einsum("pvn,pvj->pjn", ohv, jnp.asarray(hw))  # [P, 3, B]
             pts.append(pos[widx] + _qrot(quat[widx], hsel))  # world
@@ -537,18 +538,21 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
             jnp.stack(pts, 1),  # [P, K, 3, B]
             jnp.stack(nrms, 1),
             jnp.stack(gaps, 1),  # [P, K, B]
+            jnp.stack(vids, 1),  # [P, K, B] float vertex ids
         )
 
-    pt1, nrm1, gap1 = deepest(ib, ia)  # B's verts in A's faces
-    pt2, nrm2, gap2 = deepest(ia, ib)  # A's verts in B's faces
+    pt1, nrm1, gap1, vid1 = deepest(ib, ia)  # B's verts in A's faces
+    pt2, nrm2, gap2, vid2 = deepest(ia, ib)  # A's verts in B's faces
+    nv = hull.shape[1]
 
     # contact normal points from B toward A (see engine._dyn_narrowphase)
     cand_pt = jnp.concatenate([pt1, pt2], 1)  # [P, 2K, 3, B]
     cand_n = jnp.concatenate([-nrm1, nrm2], 1)
     cand_gap = jnp.concatenate([gap1, gap2], 1)  # [P, 2K, B]
+    cand_vid = jnp.concatenate([vid1, nv + vid2], 1)  # feature ids
 
     iota_c = jnp.arange(2 * kd)[None, :, None]
-    pts, nrms, gaps = [], [], []
+    pts, nrms, gaps, vids = [], [], [], []
     g = cand_gap
     for _ in range(kd):
         c_id = jnp.argmin(g, axis=1)  # [P, B]
@@ -556,11 +560,13 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
         ohc = (iota_c == c_id[:, None]).astype(jnp.float32)  # [P, 2K, B]
         pts.append(jnp.einsum("pcn,pcjn->pjn", ohc, cand_pt))
         nrms.append(jnp.einsum("pcn,pcjn->pjn", ohc, cand_n))
+        vids.append(jnp.sum(ohc * cand_vid, 1))
         g = jnp.where(ohc > 0, 1e9, g)
 
     point = jnp.stack(pts, 1)  # [P, K, 3, B]
     n = jnp.stack(nrms, 1)
     raw_gap = jnp.stack(gaps, 1)  # [P, K, B] pre-margin
+    vid = jnp.stack(vids, 1)  # [P, K, B]
 
     # near-duplicate dedup (engine.DEDUP_TOL): the merge can keep both
     # directions' representation of one physical contact; deactivate any
@@ -705,6 +711,9 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
     ue3 = use_edge[:, None, None]
     point = jnp.where(ue3, point.at[:, 0].set(pt_e), point)
     n = jnp.where(ue3, n.at[:, 0].set(ax_e), n)
+    vid = jnp.where(
+        use_edge[:, None], vid.at[:, 0].set(jnp.float32(2 * nv)), vid
+    )
     edge_gap = raw_gap.at[:, 0].set(-pen_e)
     if kd > 1:
         edge_gap = edge_gap.at[:, 1:].set(1e9)  # single-point edge manifold
@@ -712,10 +721,12 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
 
     marg = model.margin[ia] + model.margin[ib]  # static numpy
     gap = raw_gap - jnp.asarray(marg)[:, None, None]
-    return point, n, gap
+    vid = jnp.where(raw_gap > 1e8, -1.0, vid)  # deduped / suppressed slots
+    return point, n, gap, jnp.round(vid).astype(jnp.int32)
 
 
-def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel, iinv_world, dt):
+def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel,
+                         iinv_world, dt, warm_cache=None):
     """Member-member contacts (env-last engine._member_contact_rows).
 
     Returns (normal [NDC, ROW_FP, B], friction [NDC*2, ROW_FP, B]) with
@@ -725,10 +736,11 @@ def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel, iinv_
     kd = model.member_manifold_k
     b = pos.shape[-1]
     ia, ib = np.repeat(dp[:, 0], kd), np.repeat(dp[:, 1], kd)
-    point, n, gap = _dyn_narrowphase(model, pos, quat)
+    point, n, gap, vid = _dyn_narrowphase(model, pos, quat)
     point = point.reshape(-1, 3, b)
     n = n.reshape(-1, 3, b)
     gap = gap.reshape(-1, b)
+    vid = vid.reshape(-1, b)
     act = (gap < E.CONTACT_BREAKING).astype(jnp.float32)
 
     rel_a = point - pos[ia]
@@ -758,7 +770,61 @@ def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel, iinv_
         en = 1.0 if ti == 0 else t2_en
         fr.append(_pack(rows_for(d) * en, zeros, zeros, zeros))
     friction_rows = jnp.stack(fr, axis=1).reshape(ndc * 2, -1, b)
-    return normal_rows, friction_rows
+    extras = {"act": act, "vid": vid}
+    if warm_cache is not None:
+        # persistent warm start (engine._dyn_warm_match env-last): match
+        # feature ids, carry impulses, add their velocity contribution
+        dyn_vid, dyn_lambda = warm_cache  # [NDC, B], [NDC, 3, B]
+        old_vid = dyn_vid.reshape(-1, kd, b)
+        old_lam = dyn_lambda.reshape(-1, kd, 3, b)
+        newv = vid.reshape(-1, kd, b)
+        match = (newv[:, :, None] == old_vid[:, None, :]) & (
+            old_vid[:, None, :] >= 0
+        )
+        lam = jnp.einsum(
+            "pkon,podn->pkdn", match.astype(jnp.float32), old_lam
+        ).reshape(ndc, 3, b)
+        warm = jnp.where(act[:, None] > 0, lam * E.WARMSTART, 0.0)
+        lam_n0 = warm[:, 0]
+        lam_t0 = warm[:, 1:]
+        ja_n = _cross(rel_a, n)
+        jb_n = -_cross(rel_b, n)
+        ja_1, jb_1 = _cross(rel_a, t1), -_cross(rel_b, t1)
+        ja_2, jb_2 = _cross(rel_a, t2), -_cross(rel_b, t2)
+        inv_m_a = jnp.asarray(model.inv_mass[ia])[:, None, None]
+        inv_m_b = jnp.asarray(model.inv_mass[ib])[:, None, None]
+        ii_a = iinv_world[ia]
+        ii_b = iinv_world[ib]
+
+        def _imp(d, ja, jb, l):
+            la = l[:, None]
+            return (
+                jnp.concatenate(
+                    [inv_m_a * d, jnp.einsum("pijn,pjn->pin", ii_a, ja)], 1
+                ) * la,
+                jnp.concatenate(
+                    [-inv_m_b * d, jnp.einsum("pijn,pjn->pin", ii_b, jb)], 1
+                ) * la,
+            )
+
+        ia6, ib6 = _imp(n, ja_n, jb_n, lam_n0)
+        for d, ja, jb, l in (
+            (t1, ja_1, jb_1, lam_t0[:, 0]),
+            (t2 * t2_en, ja_2 * t2_en, jb_2 * t2_en, lam_t0[:, 1]),
+        ):
+            xa, xb = _imp(d, ja, jb, l)
+            ia6 = ia6 + xa
+            ib6 = ib6 + xb
+        oh_a = np.zeros((ndc, model.n_bodies), np.float32)
+        oh_b = np.zeros((ndc, model.n_bodies), np.float32)
+        oh_a[np.arange(ndc), ia] = 1.0
+        oh_b[np.arange(ndc), ib] = 1.0
+        extras["imp6"] = jnp.einsum(
+            "pb,pin->bin", jnp.asarray(oh_a), ia6
+        ) + jnp.einsum("pb,pin->bin", jnp.asarray(oh_b), ib6)
+        extras["lam_n0"] = lam_n0
+        extras["lam_t0"] = lam_t0
+    return normal_rows, friction_rows, extras
 
 
 # ---------------------------------------------------------------------------
@@ -772,8 +838,8 @@ def _round_rows(nr: int, chunk: int, n_buf: int = 4) -> int:
 
 
 def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
-                 contact_lambda, contact_vid, joint_lambda, motor_target,
-                 motor_enabled):
+                 contact_lambda, contact_vid, joint_lambda, dyn_lambda,
+                 dyn_vid, motor_target, motor_enabled):
     """One substep for B envs, env axis last everywhere.
 
     pos [NB,3,B], quat [NB,4,B], vels [NB,3,B], contact_lambda [NP,K,3,B],
@@ -893,12 +959,14 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
         friction_packed = jnp.zeros((0, sp.ROW_SLIM, b))
 
     if n_dyn:
-        member_normal, member_friction = _member_contact_rows(
-            model, pos, quat, lin_vel, ang_vel, iinv_world, dt
+        member_normal, member_friction, member_x = _member_contact_rows(
+            model, pos, quat, lin_vel, ang_vel, iinv_world, dt,
+            warm_cache=(dyn_vid, dyn_lambda),
         )
     else:
         member_normal = jnp.zeros((0, sp.ROW_SLIM, b))
         member_friction = jnp.zeros((0, sp.ROW_SLIM, b))
+        member_x = None
 
     vel6_flat = vel6.reshape(model.n_bodies * 6, b)
 
@@ -916,6 +984,8 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
         vel6 = vel6 + jnp.einsum(
             "pb,pin->bin", jnp.asarray(oh_c), imp.reshape(n_pair, 6, b)
         )
+        if n_dyn:
+            vel6 = vel6 + member_x["imp6"]  # member warm-start impulses
         vel6_flat = vel6.reshape(model.n_bodies * 6, b)
 
     # ---- velocity pass + fused split-impulse (one sweep, canonical order) ----
@@ -925,13 +995,18 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
     if nr_pad != n_full:
         parts.append(jnp.zeros((nr_pad - n_full, sp.ROW_SLIM, b)))
     all_rows = jnp.concatenate(parts, 0)
+    m_lam_n0 = member_x["lam_n0"] if n_dyn else jnp.zeros((0, b))
+    m_lam_t0 = (
+        member_x["lam_t0"].reshape(n_dyn * 2, b)  # contact-major, dir-minor
+        if n_dyn else jnp.zeros((0, b))
+    )
     lam0 = jnp.concatenate(
         [
             jl0,
             lam_n0.reshape(n_pair * k, b),
-            jnp.zeros((n_dyn, b)),
+            m_lam_n0,
             lam_t0.reshape(n_pair * k * 2, b),
-            jnp.zeros((n_dyn * 2, b)),
+            m_lam_t0,
             jnp.zeros((nr_pad - n_full, b)),
         ],
         0,
@@ -953,10 +1028,12 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
         lam_t = lam_all[base_f : base_f + n_pair * k * 2].reshape(n_pair, k, 2, b)
 
     # ---- integrate + diagnostics (engine._finish_step env-last) ----
-    vel6_out = vel_out.reshape(model.n_bodies, 6, b)
+    # statics stay pinned: 0 * NaN from an exploded solve must not leak into
+    # bodies no reset rewrites (see engine._finish_step)
+    vel6_out = jnp.where(dyn > 0, vel_out.reshape(model.n_bodies, 6, b), 0.0)
     lin_out = vel6_out[:, :3]
     ang_out = vel6_out[:, 3:]
-    push66 = push6.reshape(model.n_bodies, 6, b)
+    push66 = jnp.where(dyn > 0, push6.reshape(model.n_bodies, 6, b), 0.0)
     new_pos = pos + (lin_out + push66[:, :3]) * dt
     new_quat = _qintegrate(quat, ang_out + push66[:, 3:] * E.TURN_ERP, dt)
 
@@ -988,9 +1065,23 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
         new_cl = contact_lambda
         new_vid = contact_vid
 
+    if n_dyn:
+        base_mn = nrj + n_pair * k
+        m_lam_n = lam_all[base_mn : base_mn + n_dyn]  # [NDC, B]
+        base_mf = nrj + n_pair * k + n_dyn + n_pair * k * 2
+        m_lam_t = lam_all[base_mf : base_mf + n_dyn * 2].reshape(n_dyn, 2, b)
+        dactf = member_x["act"]
+        new_dl = (
+            jnp.concatenate([m_lam_n[:, None], m_lam_t], 1) * dactf[:, None]
+        )
+        new_dv = jnp.where(dactf > 0, member_x["vid"], -1)
+    else:
+        new_dl = dyn_lambda
+        new_dv = dyn_vid
+
     return (
-        new_pos, new_quat, lin_out, ang_out, new_cl, new_vid, lam,
-        (slider_lin_pos, slider_imp, p2p_imp, floor_contact),
+        new_pos, new_quat, lin_out, ang_out, new_cl, new_vid, lam, new_dl,
+        new_dv, (slider_lin_pos, slider_imp, p2p_imp, floor_contact),
     )
 
 
@@ -1031,10 +1122,11 @@ def vmapped_step(model: PhysicsModel, dt: float, axis_size: int, in_batched,
         to_last(state.pos), to_last(state.quat),
         to_last(state.lin_vel), to_last(state.ang_vel),
         to_last(state.contact_lambda), to_last(state.contact_vid),
-        to_last(state.joint_lambda),
+        to_last(state.joint_lambda), to_last(state.dyn_lambda),
+        to_last(state.dyn_vid),
         to_last(motor_target), to_last(motor_enabled),
     )
-    pos, quat, lin, ang, cl, vid, jlam, diag = out
+    pos, quat, lin, ang, cl, vid, jlam, dl, dv, diag = out
 
     def to_first(x):
         return jnp.moveaxis(x[..., :b], -1, 0)
@@ -1043,6 +1135,7 @@ def vmapped_step(model: PhysicsModel, dt: float, axis_size: int, in_batched,
         pos=to_first(pos), quat=to_first(quat), lin_vel=to_first(lin),
         ang_vel=to_first(ang), contact_lambda=to_first(cl),
         contact_vid=to_first(vid), joint_lambda=to_first(jlam),
+        dyn_lambda=to_first(dl), dyn_vid=to_first(dv),
     )
     diag_out = StepDiagnostics(
         slider_lin_pos=to_first(diag[0]),

@@ -89,6 +89,11 @@ class PhysicsState(NamedTuple):
     # joint-row impulse cache: consumed for warm starting when
     # model.strict_bullet (Bullet warm-starts every solver constraint)
     joint_lambda: jnp.ndarray  # [NRJ]
+    # member-member (dyn-dyn) persistent manifold cache, keyed by feature id
+    # (Bullet keeps btPersistentManifold caches for convex-convex pairs too,
+    # item.cpp:17-52; floor pairs already warm-start by vertex id)
+    dyn_lambda: jnp.ndarray  # [NDC, 3] (normal, t1, t2); NDC = NDP * K
+    dyn_vid: jnp.ndarray  # [NDC] feature id (dir*NV + vert; 2*NV = edge), -1 empty
 
 
 class StepDiagnostics(NamedTuple):
@@ -131,6 +136,8 @@ def init_state(model: PhysicsModel) -> PhysicsState:
         contact_lambda=jnp.zeros((npair, k, 3)),
         contact_vid=jnp.full((npair, k), -1, dtype=jnp.int32),
         joint_lambda=jnp.zeros((model.n_rows,)),
+        dyn_lambda=jnp.zeros((_n_dyn_contacts(model), 3)),
+        dyn_vid=jnp.full((_n_dyn_contacts(model),), -1, dtype=jnp.int32),
     )
 
 
@@ -817,19 +824,22 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
             jnp.asarray(nl), f_sel[..., None], 1
         )  # [P, K, 3]
         nrm = maths.quat_rotate(quat[fidx][:, None], nl_sel)
-        return pt, nrm, gap
+        return pt, nrm, gap, v_id
 
-    pt1, nrm1, gap1 = deepest(ib, ia)  # B's verts in A
-    pt2, nrm2, gap2 = deepest(ia, ib)  # A's verts in B
+    pt1, nrm1, gap1, vid1 = deepest(ib, ia)  # B's verts in A
+    pt2, nrm2, gap2, vid2 = deepest(ia, ib)  # A's verts in B
+    nv = hull.shape[1]
 
     # contact normal points from B toward A: A's face normal points out of A
     # (toward B's vertex) -> negate; B's face normal points toward A -> keep
     cand_pt = jnp.concatenate([pt1, pt2], 1)  # [P, 2K, 3]
     cand_n = jnp.concatenate([-nrm1, nrm2], 1)
     cand_gap = jnp.concatenate([gap1, gap2], 1)
+    cand_vid = jnp.concatenate([vid1, nv + vid2], 1)  # feature id per cand
     neg, sel = jax.lax.top_k(-cand_gap, kd)  # K deepest candidates
     point = jnp.take_along_axis(cand_pt, sel[..., None], 1)
     n = jnp.take_along_axis(cand_n, sel[..., None], 1)
+    vid = jnp.take_along_axis(cand_vid, sel, 1)  # [P, K]
     raw_gap = -neg  # pre-margin
 
     # near-duplicate dedup (see DEDUP_TOL): deactivate any selected point
@@ -930,29 +940,37 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
     use_edge = (pen_e < big / 2) & (pen_e > 0) & (pen_e < 0.95 * pen_f)
     point = jnp.where(use_edge[:, None, None], point.at[:, 0].set(pt_e), point)
     n = jnp.where(use_edge[:, None, None], n.at[:, 0].set(ax_e), n)
+    vid = jnp.where(use_edge[:, None], vid.at[:, 0].set(2 * nv), vid)
     edge_gap = raw_gap.at[:, 0].set(-pen_e)
     if kd > 1:
         edge_gap = edge_gap.at[:, 1:].set(1e9)  # single-point edge manifold
     raw_gap = jnp.where(use_edge[:, None], edge_gap, raw_gap)
 
     gap = raw_gap - (marg[ia] + marg[ib])[:, None]
-    return point, n, gap
+    vid = jnp.where(raw_gap > 1e8, -1, vid)  # deduped / suppressed slots
+    return point, n, gap, vid
 
 
-def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel, iinv_world, dt):
+def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel,
+                         iinv_world, dt, warm_cache=None):
     """Member-member contacts -> packed solver rows (SAT narrowphase).
 
     Returns (normal_rows [NDC, 28], friction_rows [NDC*2, 28],
-    push_rows [NDC, 28]) where NDC = n_pairs * member_manifold_k — up to K
-    manifold points per pair, flattened pair-major; floor contacts keep
-    their own 4-point full-hull manifolds."""
+    push_rows [NDC, 28], extras) where NDC = n_pairs * member_manifold_k —
+    up to K manifold points per pair, flattened pair-major; floor contacts
+    keep their own 4-point full-hull manifolds. `warm_cache` =
+    (state.dyn_vid, state.dyn_lambda) turns on persistent warm starting:
+    extras additionally carries the warm-start impulse aggregate `imp6`
+    [NB, 6] and the solver's initial lambdas (lam_n0 [NDC], lam_t0
+    [NDC, 2]); extras always carries (act, vid)."""
     dp = model.dyn_pair_body
     kd = model.member_manifold_k
     ia, ib = np.repeat(dp[:, 0], kd), np.repeat(dp[:, 1], kd)
-    point, n, gap = _dyn_narrowphase(model, pos, quat)
+    point, n, gap, vid = _dyn_narrowphase(model, pos, quat)
     point = point.reshape(-1, 3)
     n = n.reshape(-1, 3)
     gap = gap.reshape(-1)
+    vid = vid.reshape(-1)
     act = (gap < CONTACT_BREAKING).astype(jnp.float32)
 
     rel_a = point - pos[ia]
@@ -1000,7 +1018,48 @@ def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel, iinv_
         fr.append(_pack_rows(jt, dva_t, dvb_t, zeros, zeros, zeros, ie_t * act * en))
     # interleave (contact point, dir): [NDC, 2, 28]
     friction_rows = jnp.stack(fr, axis=1).reshape(ndc * 2, -1)
-    return normal_rows, friction_rows, push_rows
+    extras = {"act": act, "vid": vid}
+    if warm_cache is not None:
+        warm_dyn = _dyn_warm_match(model, vid, act, *warm_cache)
+        lam_n0 = warm_dyn[:, 0] * act
+        lam_t0 = warm_dyn[:, 1:] * act[:, None]
+        jt1, dva_t1, dvb_t1, _ = rows_for(t1)
+        jt2, dva_t2, dvb_t2, _ = rows_for(t2)
+        imp_a = (
+            dva_n * lam_n0[:, None, None]
+            + dva_t1 * lam_t0[:, 0, None, None]
+            + dva_t2 * lam_t0[:, 1, None, None]
+        ).reshape(ndc, 6)
+        imp_b = (
+            dvb_n * lam_n0[:, None, None]
+            + dvb_t1 * lam_t0[:, 0, None, None]
+            + dvb_t2 * lam_t0[:, 1, None, None]
+        ).reshape(ndc, 6)
+        oh_a = np.zeros((ndc, model.n_bodies), np.float32)
+        oh_b = np.zeros((ndc, model.n_bodies), np.float32)
+        oh_a[np.arange(ndc), ia] = 1.0
+        oh_b[np.arange(ndc), ib] = 1.0
+        extras["imp6"] = jnp.asarray(oh_a).T @ imp_a + jnp.asarray(oh_b).T @ imp_b
+        extras["lam_n0"] = lam_n0
+        extras["lam_t0"] = lam_t0
+    return normal_rows, friction_rows, push_rows, extras
+
+
+def _dyn_warm_match(model: PhysicsModel, vid_new, act_new, dyn_vid, dyn_lambda):
+    """Match this step's member-contact feature ids against the cached ones
+    and carry the impulses (x WARMSTART) for persisting contacts. Shapes:
+    vid_new/act_new [NDC]; returns [NDC, 3]."""
+    kd = model.member_manifold_k
+    old_vid = dyn_vid.reshape(-1, kd)
+    old_lam = dyn_lambda.reshape(-1, kd, 3)
+    newv = vid_new.reshape(-1, kd)
+    match = (newv[..., :, None] == old_vid[..., None, :]) & (
+        old_vid[..., None, :] >= 0
+    )
+    lam = jnp.einsum("pko,pod->pkd", match.astype(old_lam.dtype), old_lam)
+    return jnp.where(
+        act_new.reshape(-1, kd)[..., None] > 0, lam * WARMSTART, 0.0
+    ).reshape(-1, 3)
 
 
 def _get_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int = 0):
@@ -1340,8 +1399,12 @@ def _physics_step_impl(
             ).reshape(n_pair * k, -1)
             n_dyn = _n_dyn_contacts(model)
             if n_dyn:
-                member_normal, member_friction, member_push = _member_contact_rows(
-                    model, state.pos, state.quat, lin_vel, ang_vel, iinv_world, dt
+                member_normal, member_friction, member_push, member_x = (
+                    _member_contact_rows(
+                        model, state.pos, state.quat, lin_vel, ang_vel,
+                        iinv_world, dt,
+                        warm_cache=(state.dyn_vid, state.dyn_lambda),
+                    )
                 )
                 push_rows = jnp.concatenate([push_rows, member_push], 0)
             solve_push = _get_pallas_solver(model, "push", n_pair, n_dyn)
@@ -1397,11 +1460,15 @@ def _physics_step_impl(
         kd = model.member_manifold_k
         d_ia = np.repeat(dp_np[:, 0], kd)  # per contact point
         d_ib = np.repeat(dp_np[:, 1], kd)
-        dpoint, dnorm, dgap = _dyn_narrowphase(model, state.pos, state.quat)
+        dpoint, dnorm, dgap, dvid = _dyn_narrowphase(model, state.pos, state.quat)
         dpoint = dpoint.reshape(-1, 3)
         dnorm = dnorm.reshape(-1, 3)
         dgap = dgap.reshape(-1)
+        dvid = dvid.reshape(-1)
         dact = (dgap < CONTACT_BREAKING).astype(jnp.float32)
+        warm_dyn = _dyn_warm_match(
+            model, dvid, dact, state.dyn_vid, state.dyn_lambda
+        )
         drel_a = dpoint - state.pos[d_ia]
         drel_b = dpoint - state.pos[d_ib]
         inv_m_da = model_arr(model.inv_mass)[d_ia][:, None]
@@ -1546,13 +1613,18 @@ def _physics_step_impl(
             ).reshape(n_pair * k * 2, -1)
             n_dyn = _n_dyn_contacts(model)
             if n_dyn:
+                # member warm-start impulses enter the velocities here, next
+                # to the floor-contact warm start above; the solver starts
+                # from the matched accumulated lambdas
+                vel6 = vel6 + member_x["imp6"].reshape(model.n_bodies, 6)
                 all_rows = jnp.concatenate(
                     [joint_packed, normal_packed, member_normal,
                      friction_packed, member_friction], 0
                 )
                 lam0_all = jnp.concatenate(
-                    [jl0, lam_n0.reshape(-1), jnp.zeros((n_dyn,)),
-                     lam_t0.reshape(n_pair * k * 2), jnp.zeros((n_dyn * 2,))]
+                    [jl0, lam_n0.reshape(-1), member_x["lam_n0"],
+                     lam_t0.reshape(n_pair * k * 2),
+                     member_x["lam_t0"].reshape(n_dyn * 2)]
                 )
             else:
                 all_rows = jnp.concatenate([joint_packed, normal_packed, friction_packed], 0)
@@ -1576,9 +1648,20 @@ def _physics_step_impl(
             lam_t = lam_all[base_f : base_f + n_pair * k * 2].reshape(n_pair, k, 2)
         else:
             lam_n, lam_t = lam_n0, lam_t0
+        dyn_cache = None
+        if n_dyn:
+            m_lam_n = lam_all[base_n + n_pair * k : base_n + n_pair * k + n_dyn]
+            m_lam_t = lam_all[
+                base_f + n_pair * k * 2 : base_f + n_pair * k * 2 + n_dyn * 2
+            ].reshape(n_dyn, 2)
+            dyn_cache = (
+                jnp.concatenate([m_lam_n[:, None], m_lam_t], 1)
+                * member_x["act"][:, None],
+                jnp.where(member_x["act"] > 0, member_x["vid"], -1),
+            )
         return _finish_step(
             model, state, vel6, push6, lam, lam_n, lam_t, contacts, slider_lin_pos,
-            n_pair, dt,
+            n_pair, dt, dyn_cache=dyn_cache,
         )
 
     # --- XLA path: colored phases as one-hot einsums ---
@@ -1685,10 +1768,32 @@ def _physics_step_impl(
     if model.strict_bullet and n_phases:
         rps0 = model.row_phase_slot  # static numpy [n_rows, 2]
         lam_pm0 = lam_pm0.at[rps0[:, 0], rps0[:, 1]].set(jl0)
-    vel6, lam_pm, lam_n, lam_t, _, _ = jax.lax.fori_loop(
+    if n_dyn_x:
+        # persistent member-manifold warm start (mirrors the floor block
+        # above): impulses into the velocities, lambdas seed the iterations
+        lam_dn0 = warm_dyn[:, 0] * dact
+        lam_dt0 = warm_dyn[:, 1:] * dact[:, None]
+        d_imp_a = (
+            dn_dva * lam_dn0[:, None, None]
+            + dt1_dva * lam_dt0[:, 0, None, None]
+            + dt2_dva * lam_dt0[:, 1, None, None]
+        ).reshape(n_dyn_x, 6)
+        d_imp_b = (
+            dn_dvb * lam_dn0[:, None, None]
+            + dt1_dvb * lam_dt0[:, 0, None, None]
+            + dt2_dvb * lam_dt0[:, 1, None, None]
+        ).reshape(n_dyn_x, 6)
+        oh_da = np.zeros((n_dyn_x, model.n_bodies), np.float32)
+        oh_db = np.zeros((n_dyn_x, model.n_bodies), np.float32)
+        oh_da[np.arange(n_dyn_x), d_ia] = 1.0
+        oh_db[np.arange(n_dyn_x), d_ib] = 1.0
+        vel6 = vel6 + jnp.asarray(oh_da).T @ d_imp_a + jnp.asarray(oh_db).T @ d_imp_b
+    else:
+        lam_dn0 = jnp.zeros((n_dyn_x,))
+        lam_dt0 = jnp.zeros((n_dyn_x, 2))
+    vel6, lam_pm, lam_n, lam_t, lam_dn_f, lam_dt_f = jax.lax.fori_loop(
         0, model.n_iterations, vel_iter,
-        (vel6, lam_pm0, lam_n0, lam_t0,
-         jnp.zeros((n_dyn_x,)), jnp.zeros((n_dyn_x, 2))),
+        (vel6, lam_pm0, lam_n0, lam_t0, lam_dn0, lam_dt0),
     )
     # flatten phase-major impulses back to row order for diagnostics
     if n_phases:
@@ -1697,20 +1802,33 @@ def _physics_step_impl(
     else:
         lam = jnp.zeros((n_rows,))
 
+    dyn_cache = None
+    if n_dyn_x:
+        dyn_cache = (
+            jnp.concatenate([lam_dn_f[:, None], lam_dt_f], 1) * dact[:, None],
+            jnp.where(dact > 0, dvid, -1),
+        )
     return _finish_step(
         model, state, vel6, push6, lam, lam_n, lam_t, contacts, slider_lin_pos,
-        n_pair, dt,
+        n_pair, dt, dyn_cache=dyn_cache,
     )
 
 
 def _finish_step(
-    model, state, vel6, push6, lam, lam_n, lam_t, contacts, slider_lin_pos, n_pair, dt
+    model, state, vel6, push6, lam, lam_n, lam_t, contacts, slider_lin_pos,
+    n_pair, dt, dyn_cache=None,
 ):
     """Shared step tail: integrate transforms, extract diagnostics, persist
     the contact warm-start cache."""
     n_rows = model.n_rows
-    lin_vel = vel6[:, :3]
-    ang_vel = vel6[:, 3:]
+    # static bodies never move (Bullet: zero inv mass). Their dv rows are
+    # zero so impulses normally cancel, but 0 * NaN = NaN — an exploded
+    # solve would otherwise leak NaN into static bodies that no reset ever
+    # rewrites. Force their velocities to zero before integrating.
+    dyn_m = jnp.asarray((model.inv_mass > 0).astype(np.float32))[:, None]
+    lin_vel = jnp.where(dyn_m > 0, vel6[:, :3], 0.0)
+    ang_vel = jnp.where(dyn_m > 0, vel6[:, 3:], 0.0)
+    push6 = jnp.where(dyn_m > 0, push6, 0.0)
 
     # 6. integrate transforms; split-impulse push velocities move positions
     # only (writebackVelocityAndTransform, turn erp on the angular part)
@@ -1749,6 +1867,10 @@ def _finish_step(
         new_cl = state.contact_lambda
         new_vid = state.contact_vid
 
+    if dyn_cache is not None:
+        new_dl, new_dv = dyn_cache
+    else:
+        new_dl, new_dv = state.dyn_lambda, state.dyn_vid
     new_state = PhysicsState(
         pos=pos,
         quat=quat,
@@ -1757,6 +1879,8 @@ def _finish_step(
         contact_lambda=new_cl,
         contact_vid=new_vid,
         joint_lambda=lam,
+        dyn_lambda=new_dl,
+        dyn_vid=new_dv,
     )
     diag = StepDiagnostics(
         slider_lin_pos=slider_lin_pos,

@@ -112,3 +112,32 @@ def test_robot_walk_strict_bullet_runs_stably():
     assert -1.5 < root[1] < 1.0, root
     assert np.abs(pos[members] - root).max() < 2.0
     assert np.abs(np.asarray(state.physics.lin_vel)).max() < 20.0
+
+
+def test_nan_explosion_fails_and_recovers():
+    """Non-finite guard: if the physics state goes NaN (policy-driven
+    contact explosion), the episode must FAIL with sanitized obs/reward —
+    NaN compares False everywhere, so without the guard the time bank never
+    drains and one poisoned env never terminates (observed in the r4 CrossQ
+    run) — and the auto-reset must return the env to a clean, finite state."""
+    env = RobotWalkFactory({"reset_frames": "3"}).make(3, mt_parity=False)
+    state, res = jax.jit(env.reset)(jax.random.PRNGKey(3))
+    # poison the root body's velocity
+    bad_phys = state.physics._replace(
+        lin_vel=state.physics.lin_vel.at[env.meta.root_body].set(jnp.nan)
+    )
+    state = state._replace(physics=bad_phys)
+    step = jax.jit(env.step)
+    state, res = step(state, jnp.zeros((12,)))
+    obs = np.asarray(res.obs)
+    assert not np.isnan(obs).any(), "guard must sanitize the emitted obs"
+    assert not np.isnan(float(res.reward))
+    assert bool(res.done) and not bool(res.win), "NaN must fail, not win"
+    # NaN actions must not poison the persistent motor target
+    state, res = step(state, jnp.full((12,), jnp.nan))
+    # run through the settle phase; the env must come back finite
+    for _ in range(10):
+        state, res = step(state, jnp.zeros((12,)))
+    assert not np.isnan(np.asarray(res.obs)).any()
+    assert not np.isnan(np.asarray(state.physics.pos)).any()
+    assert bool(res.valid)

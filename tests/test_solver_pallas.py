@@ -153,7 +153,7 @@ def test_edge_on_edge_wedge_resolves(solver):
     from evomotion_tpu.physics import engine as E
 
     st0 = init_state(model)
-    _, n0, gap0 = E._dyn_narrowphase(model, st0.pos, st0.quat)
+    _, n0, gap0, _vid0 = E._dyn_narrowphase(model, st0.pos, st0.quat)
     act0 = np.asarray(gap0[0]) < E.CONTACT_BREAKING
     n_act = np.asarray(n0[0])[act0]
     assert act0.sum() == 1, act0
@@ -190,7 +190,7 @@ def test_manifold_dedup_drops_mirror_duplicates():
     from evomotion_tpu.physics import engine as E
 
     st = init_state(model)
-    pt, n, gap = E._dyn_narrowphase(model, st.pos, st.quat)
+    pt, n, gap, _vid = E._dyn_narrowphase(model, st.pos, st.quat)
     pt, gap = np.asarray(pt[0]), np.asarray(gap[0])
     act = gap < E.CONTACT_BREAKING
     assert act.sum() >= 1
@@ -198,3 +198,53 @@ def test_manifold_dedup_drops_mirror_duplicates():
     for i in range(len(p_act)):
         for j in range(i + 1, len(p_act)):
             assert np.linalg.norm(p_act[i] - p_act[j]) >= E.DEDUP_TOL, p_act
+
+
+def test_member_warm_start_cache_and_convergence():
+    """Persistent member-manifold warm start (VERDICT r3 #4): cached
+    impulses keyed by feature id persist across steps, carry the stack's
+    weight, and measurably improve solver convergence — at a reduced
+    iteration budget a 4-box stack collapses when the cache is cleared
+    every step (cold) but stands when warm-started (Bullet's
+    btPersistentManifold role for convex-convex pairs, item.cpp:17-52)."""
+    from evomotion_tpu.physics import engine as E
+
+    b = ModelBuilder()
+    cube = get_shape("cube").hull_verts
+    b.add_body("floor", cube, (100, 1, 100), 0.0, (0, -1, 0), (0, 0, 0, 1))
+    for i in range(4):
+        b.add_body(f"box{i}", cube, (0.3, 0.3, 0.3), 1.0,
+                   (0.02 * i, 0.35 + 0.65 * i, 0), (0, 0, 0, 1))
+    model = b.finalize()
+
+    def run(m, cold, n=150):
+        s = init_state(m)
+
+        def body(s, _):
+            if cold:
+                s = s._replace(
+                    dyn_lambda=jnp.zeros_like(s.dyn_lambda),
+                    dyn_vid=jnp.full_like(s.dyn_vid, -1),
+                )
+            s, _d = physics_step(m, s, jnp.zeros((0,)), jnp.ones((0,), bool), DT)
+            return s, None
+
+        return jax.jit(lambda s: jax.lax.scan(body, s, None, length=n))(s)[0]
+
+    # full budget: cache fills with persistent ids and the supported weight
+    s_w = run(model, cold=False)
+    vids = np.asarray(s_w.dyn_vid)
+    assert (vids >= 0).sum() >= 6, vids  # several persistent contacts
+    lam_n = float(np.asarray(s_w.dyn_lambda[:, 0]).sum())
+    # total normal impulse/step carried between members ~ supported weight
+    # (3+2+1) * m*g*dt = 0.98; split-impulse carries part of it
+    assert 0.4 < lam_n < 1.5, lam_n
+
+    # reduced budget: warm start is what keeps the stack converged
+    import dataclasses as dc
+
+    m2 = dc.replace(model, n_iterations=2)
+    top_warm = float(run(m2, cold=False).pos[4, 1])
+    top_cold = float(run(m2, cold=True).pos[4, 1])
+    assert top_warm > top_cold + 0.8, (top_warm, top_cold)
+    assert top_warm > 1.5, top_warm
