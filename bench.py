@@ -15,9 +15,11 @@ import jax.numpy as jnp
 
 
 def main():
-    n_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 120
-    solver = sys.argv[3] if len(sys.argv) > 3 else "pallas"
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    n_envs = int(args[0]) if len(args) > 0 else 2048
+    n_steps = int(args[1]) if len(args) > 1 else 120
+    solver = args[2] if len(args) > 2 else "pallas"
 
     import dataclasses
 
@@ -26,7 +28,11 @@ def main():
     env = RobotWalk()
     if jax.default_backend() != "tpu":
         solver = "xla"  # the fused kernel targets real TPUs
-    env.model = dataclasses.replace(env.model, solver=solver)
+    # --strict: throughput of the strict-Bullet parity configuration
+    # (engine.py divergence list) — the standing perf line next to the
+    # committed strict trajectory artifact (tests/goldens/strict_walk.npz)
+    env.model = dataclasses.replace(env.model, solver=solver,
+                                    strict_bullet=strict)
     reset = jax.vmap(env.reset)
     step = jax.vmap(env.step)
 
@@ -91,7 +97,7 @@ def main():
         }
 
     out = {
-        "metric": "robot_walk_env_steps_per_s",
+        "metric": "robot_walk_env_steps_per_s" + ("_strict" if strict else ""),
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s/chip",
         "vs_baseline": round(steps_per_s / 100_000.0, 3),
