@@ -519,6 +519,10 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
         dist = jnp.max(d, axis=2)  # [P, V, B]
         fid = jnp.argmax(d, axis=2).astype(jnp.float32)  # [P, V, B]
         dist = jnp.where(jnp.asarray(hmask[widx])[:, :, None] > 0, dist, 1e9)
+        # face-axis MTV contribution from the SAME fused chain (engine
+        # mirror): padded faces sit at -1e9 (max ignores), padded verts
+        # repeat vertex 0 (min unaffected)
+        pen_face = -jnp.max(jnp.min(d, 1), 1)  # [P, B]
 
         pts, nrms, gaps, vids = [], [], [], []
         g = dist
@@ -539,10 +543,11 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
             jnp.stack(nrms, 1),
             jnp.stack(gaps, 1),  # [P, K, B]
             jnp.stack(vids, 1),  # [P, K, B] float vertex ids
+            pen_face,
         )
 
-    pt1, nrm1, gap1, vid1 = deepest(ib, ia)  # B's verts in A's faces
-    pt2, nrm2, gap2, vid2 = deepest(ia, ib)  # A's verts in B's faces
+    pt1, nrm1, gap1, vid1, pen_face1 = deepest(ib, ia)  # B's verts in A's faces
+    pt2, nrm2, gap2, vid2, pen_face2 = deepest(ia, ib)  # A's verts in B's faces
     nv = hull.shape[1]
 
     # contact normal points from B toward A (see engine._dyn_narrowphase)
@@ -624,18 +629,10 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
             jnp.max(jnp.where(mm, proj, -big), 2),
         )
 
-    def sat_overlap(axes_w, ok, stat_a=None, stat_b=None):
-        """Interval overlap along world axes [P,Q,3,B]; stat_a/stat_b give
-        a body's own static (local-frame) min/max when the axes are its own
-        face normals."""
-        if stat_a is None:
-            amin, amax = _supports(ha, ma, _qrot(_qconj(quat[ia])[:, None], axes_w))
-        else:
-            amin, amax = stat_a
-        if stat_b is None:
-            bmin, bmax = _supports(hb, mb, _qrot(_qconj(quat[ib])[:, None], axes_w))
-        else:
-            bmin, bmax = stat_b
+    def sat_overlap(axes_w, ok):
+        """Interval overlap along world axes [P,Q,3,B]."""
+        amin, amax = _supports(ha, ma, _qrot(_qconj(quat[ia])[:, None], axes_w))
+        bmin, bmax = _supports(hb, mb, _qrot(_qconj(quat[ib])[:, None], axes_w))
         oa = jnp.sum(axes_w * pos[ia][:, None], 2)  # [P,Q,B]
         ob = jnp.sum(axes_w * pos[ib][:, None], 2)
         overlap = jnp.minimum(oa + amax, ob + bmax) - jnp.maximum(
@@ -643,27 +640,9 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
         )
         return jnp.where(ok, overlap, big)
 
-    # static own-face projection intervals (numpy, computed once per trace)
-    def _static_iv(h, m, fn, fm):
-        proj = np.einsum("pvj,pqj->pqv", h, fn[..., :3])
-        mm = m[:, None, :] > 0
-        iv_min = np.where(fm > 0, np.where(mm, proj, big).min(2), big)
-        iv_max = np.where(fm > 0, np.where(mm, proj, -big).max(2), -big)
-        return (jnp.asarray(iv_min)[..., None], jnp.asarray(iv_max)[..., None])
-
-    fmask_a = model.np_face_mask[ia]
-    fmask_b = model.np_face_mask[ib]
-    fa_w = _qrot(quat[ia][:, None], jnp.asarray(face[ia][..., :3])[..., None])
-    fb_w = _qrot(quat[ib][:, None], jnp.asarray(face[ib][..., :3])[..., None])
-    pen_fa = sat_overlap(
-        fa_w, jnp.asarray(fmask_a)[..., None] > 0,
-        stat_a=_static_iv(hull[ia], hmask[ia], face[ia], fmask_a),
-    )
-    pen_fb = sat_overlap(
-        fb_w, jnp.asarray(fmask_b)[..., None] > 0,
-        stat_b=_static_iv(hull[ib], hmask[ib], face[ib], fmask_b),
-    )
-    pen_f = jnp.minimum(jnp.min(pen_fa, 1), jnp.min(pen_fb, 1))  # [P,B]
+    # face-axis MTV comes from the vertex-face tensor's second reduce in
+    # `deepest` (both directions) — no separate support pass needed
+    pen_f = jnp.minimum(pen_face1, pen_face2)  # [P,B]
     pen_edges = sat_overlap(e_axes, e_ok)  # [P, E*E, B]
     e_best = jnp.argmin(pen_edges, 1)  # [P,B]
     iota_e = jnp.arange(ne * ne)[None, :, None]

@@ -815,6 +815,12 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
         dist = jnp.max(d, -1)  # [P, V]
         fid = jnp.argmax(d, -1)  # supporting face per vertex [P, V]
         dist = jnp.where(jnp.asarray(hmask[widx]) > 0, dist, 1e9)
+        # face-axis penetration from the SAME tensor (second reduce over the
+        # fused chain): depth of W's deepest vertex below each F-face plane,
+        # minimized over faces = the face-axis MTV contribution. Padded faces
+        # sit at -1e9 so the max ignores them; padded verts repeat vertex 0
+        # so the min is unaffected.
+        pen_face = -jnp.max(jnp.min(d, 1), -1)  # [P]
         neg, v_id = jax.lax.top_k(-dist, kd)  # K deepest vertices [P, K]
         gap = -neg
         hsel = jnp.take_along_axis(hw, v_id[..., None], 1)  # [P, K, 3]
@@ -824,10 +830,10 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
             jnp.asarray(nl), f_sel[..., None], 1
         )  # [P, K, 3]
         nrm = maths.quat_rotate(quat[fidx][:, None], nl_sel)
-        return pt, nrm, gap, v_id
+        return pt, nrm, gap, v_id, pen_face
 
-    pt1, nrm1, gap1, vid1 = deepest(ib, ia)  # B's verts in A
-    pt2, nrm2, gap2, vid2 = deepest(ia, ib)  # A's verts in B
+    pt1, nrm1, gap1, vid1, pen_face1 = deepest(ib, ia)  # B's verts in A
+    pt2, nrm2, gap2, vid2, pen_face2 = deepest(ia, ib)  # A's verts in B
     nv = hull.shape[1]
 
     # contact normal points from B toward A: A's face normal points out of A
@@ -872,12 +878,6 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
     npair = len(ia)
     e_axes = (cr / jnp.maximum(cr_len, 1e-12)[..., None]).reshape(npair, -1, 3)
     e_ok = cr_ok.reshape(npair, -1)
-    fa_w = maths.quat_rotate(quat[ia][:, None], jnp.asarray(face[ia][..., :3]))
-    fb_w = maths.quat_rotate(quat[ib][:, None], jnp.asarray(face[ib][..., :3]))
-    f_axes = jnp.concatenate([fa_w, fb_w], 1)  # [P, 2F, 3]
-    f_ok = jnp.concatenate(
-        [jnp.asarray(model.np_face_mask[ia]), jnp.asarray(model.np_face_mask[ib])], 1
-    ) > 0
     ha = jnp.asarray(hull[ia])  # [P,V,3]
     hb = jnp.asarray(hull[ib])
     ma = jnp.asarray(hmask[ia]) > 0  # [P,V]
@@ -901,7 +901,9 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
         )
         return jnp.where(ok, overlap, big)
 
-    pen_f = jnp.min(sat_overlap(f_axes, f_ok), -1)  # face-axis MTV [P]
+    # face-axis MTV comes from the vertex-face tensor's second reduce in
+    # `deepest` (both directions) — no separate support pass needed
+    pen_f = jnp.minimum(pen_face1, pen_face2)  # [P]
     pen_edges = sat_overlap(e_axes, e_ok)  # [P, E*E]
     e_best = jnp.argmin(pen_edges, -1)
     pen_e = jnp.take_along_axis(pen_edges, e_best[:, None], 1)[:, 0]

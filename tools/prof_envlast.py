@@ -65,7 +65,7 @@ def build_only(pos, quat, lin, ang, mtl, mel):
     iinv = jnp.einsum("bijn,bj,bkjn->bikn", rot, jnp.asarray(m.inv_inertia_local), rot)
     pt, n_, gap, act_, vid = B.detect_contacts(m, pos, quat)
     rows, slp = B.build_joint_rows(m, pos, quat, iinv, mtl, mel, 1 / 60)
-    mn, mf = B._member_contact_rows(m, pos, quat, lin, ang, iinv, 1 / 60)
+    mn, mf, _mx = B._member_contact_rows(m, pos, quat, lin, ang, iinv, 1 / 60)
     return rows.sum() + mn.sum() + mf.sum() + gap.sum() + slp.sum() + pt.sum() + n_.sum()
 
 
