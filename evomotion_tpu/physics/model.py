@@ -519,6 +519,103 @@ class ModelBuilder:
             np_face_mask[i, : len(f)] = 1.0
         return np_hull, np_hull_mask, np_face, np_face_mask
 
+    def _prune_unreachable_dyn_pairs(self, dyn_pairs: np.ndarray) -> np.ndarray:
+        """Drop member pairs that provably can NEVER touch given joint limits
+        (VERDICT r3 perf lever: the all-pairs list carries pairs whose
+        narrowphase/solver rows are permanently dead weight in the sweep).
+
+        Conservative kinematic bound over the hinge/fixed skeleton tree:
+        with A held fixed, rotating a hinge j on the A–B path by at most its
+        limit range swings everything on B's side of j along an arc of
+        radius <= the rest-pose pivot-chain length from j to B's hull
+        (pivot-to-pivot and pivot-to-hull distances are within single rigid
+        bodies, hence configuration-invariant). If
+
+            dist(c_A, c_B) - r_A - r_B - sum_j range_j * chainlen(j -> B)
+                > margins + breaking threshold + safety
+
+        the pair cannot collide in any reachable configuration. Joints that
+        only further RESTRICT motion (muscle sliders/p2p) are ignored — that
+        keeps the bound conservative. Pairs not connected through the
+        hinge/fixed tree are always kept."""
+        if not len(dyn_pairs):
+            return dyn_pairs
+        import collections
+
+        # adjacency over hinge + fixed joints; edge payload = (swing range,
+        # world pivot at rest)
+        def world_pivot(body, local):
+            b = self.bodies[body]
+            return _quat_to_mat3(b.quat) @ np.asarray(local, float) + b.pos
+
+        adj = collections.defaultdict(list)
+        for h in self.hinge:
+            a, b = h[0], h[1]
+            lo, hi = h[6], h[7]
+            swing = 2.0 * np.pi if lo > hi else min(hi - lo, 2.0 * np.pi)
+            pv = world_pivot(a, h[2])
+            adj[a].append((b, swing, pv))
+            adj[b].append((a, swing, pv))
+        for fx in self.fixed:
+            a, b = fx[0], fx[1]
+            pv = world_pivot(a, fx[2])
+            adj[a].append((b, 0.0, pv))
+            adj[b].append((a, 0.0, pv))
+
+        def hull_center_radius(i):
+            pts = self.bodies[i].hull
+            c = self.bodies[i].pos  # hulls are origin-centered local points
+            r = float(np.linalg.norm(pts, axis=1).max()) if len(pts) else 0.0
+            return c, r
+
+        def bfs_path(a, b):
+            """Joint path a->b as a list of (swing, world_pivot); None if
+            not connected."""
+            prev = {a: None}
+            q = collections.deque([a])
+            while q:
+                u = q.popleft()
+                if u == b:
+                    break
+                for v, swing, pv in adj[u]:
+                    if v not in prev:
+                        prev[v] = (u, swing, pv)
+                        q.append(v)
+            if b not in prev:
+                return None
+            path = []
+            u = b
+            while prev[u] is not None:
+                pu, swing, pv = prev[u]
+                path.append((swing, pv))
+                u = pu
+            return path[::-1]  # a -> b order
+
+        SAFETY = 0.05
+        keep = np.ones(len(dyn_pairs), bool)
+        for idx, (a, b) in enumerate(dyn_pairs):
+            path = bfs_path(int(a), int(b))
+            if path is None:
+                continue  # free-floating relative motion: keep
+            c_a, r_a = hull_center_radius(int(a))
+            c_b, r_b = hull_center_radius(int(b))
+            d0 = float(np.linalg.norm(c_a - c_b))
+            # chain length from each joint's pivot to B's center: rest-pose
+            # consecutive-pivot distances (rigid within a body)
+            pivots = [pv for _, pv in path]
+            disp = 0.0
+            for j, (swing, pv) in enumerate(path):
+                chain = 0.0
+                for k_ in range(j, len(pivots) - 1):
+                    chain += float(np.linalg.norm(pivots[k_ + 1] - pivots[k_]))
+                chain += float(np.linalg.norm(c_b - pivots[-1])) + r_b
+                disp += swing * chain
+            clearance = d0 - r_a - r_b - disp
+            margins = self.bodies[int(a)].margin + self.bodies[int(b)].margin
+            if clearance > margins + 0.02 + SAFETY:  # 0.02 = breaking thresh
+                keep[idx] = False
+        return dyn_pairs[keep]
+
     def _color_dyn_pairs(self, dyn_pairs: np.ndarray) -> tuple:
         """Greedy-color dyn pairs so one color's pairs touch disjoint bodies
         (a valid vectorized Gauss-Seidel phase on the xla backend)."""
@@ -566,6 +663,7 @@ class ModelBuilder:
             dyn_pairs = all_pairs[~is_static]
         else:
             dyn_pairs = np.zeros((0, 2), dtype=np.int32)
+        dyn_pairs = self._prune_unreachable_dyn_pairs(dyn_pairs)
 
         # narrowphase proxy hulls + local face planes for dyn-dyn SAT
         np_hull, np_hull_mask, np_face, np_face_mask = self._narrowphase_geometry(

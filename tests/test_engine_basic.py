@@ -228,3 +228,37 @@ def test_box_rests_on_member_stack(solver):
     # slab stayed put too
     assert abs(pos[1, 0]) < 0.05 and abs(pos[1, 2]) < 0.05, pos[1]
     assert abs(quat[1, 3]) > 0.995, quat[1]
+
+
+def test_dyn_pair_pruning_conservative():
+    """Compile-time unreachable-pair pruning: a tightly limited chain's
+    distal pair prunes; free bodies and reachable pairs never do."""
+    from evomotion_tpu.physics.model import ModelBuilder
+    from evomotion_tpu.physics.shapes import get_shape
+
+    cube = get_shape("cube").hull_verts
+
+    # chain: a - b - c with +-0.05 rad hinges; a and c sit 3 apart -> the
+    # (a, c) pair can never close the gap and must prune; (a, b) stays
+    b = ModelBuilder()
+    ba = b.add_body("a", cube, (0.7, 0.2, 0.2), 1.0, (0, 1, 0), (0, 0, 0, 1))
+    bb = b.add_body("b", cube, (0.7, 0.2, 0.2), 1.0, (1.5, 1, 0), (0, 0, 0, 1))
+    bc = b.add_body("c", cube, (0.2, 0.2, 0.2), 1.0, (3.2, 1, 0), (0, 0, 0, 1))
+    b.add_hinge(ba, bb, (0.75, 0, 0), (-0.75, 0, 0), (0, 0, 1), (0, 0, 1), -0.05, 0.05)
+    b.add_hinge(bb, bc, (0.75, 0, 0), (-0.75, 0, 0), (0, 0, 1), (0, 0, 1), -0.05, 0.05)
+    m = b.finalize()
+    pairs = {tuple(p) for p in m.dyn_pair_body.tolist()}
+    assert (ba, bb) in pairs or (bb, ba) in pairs
+    assert (ba, bc) not in pairs and (bc, ba) not in pairs, pairs
+
+    # two unconnected boxes: no kinematic bound -> never pruned
+    b2 = ModelBuilder()
+    x = b2.add_body("x", cube, (0.2, 0.2, 0.2), 1.0, (0, 1, 0), (0, 0, 0, 1))
+    y = b2.add_body("y", cube, (0.2, 0.2, 0.2), 1.0, (5, 1, 0), (0, 0, 0, 1))
+    m2 = b2.finalize()
+    assert len(m2.dyn_pair_body) == 1
+
+    # the spider: every pair is (conservatively) reachable; none pruned
+    from evomotion_tpu.envs.robot import RobotWalk
+
+    assert len(RobotWalk().model.dyn_pair_body) == 120
