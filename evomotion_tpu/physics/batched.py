@@ -990,15 +990,26 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
         ],
         0,
     )
-    idx6_a, idx6_b, parent, mu, kind_arr, skip_b = E._solver_meta(
+    idx6_a, idx6_b, parent, mu, kind_arr, skip_b, perm, groups = E._solver_meta(
         model, "full", n_pair, n_dyn
     )
+    if perm is not None:
+        # latency-optimized visit order (engine._schedule_rows): gather the
+        # row stream + lam0 into visit order, scatter lambdas back through
+        # the inverse so extraction below stays canonical
+        full_perm = np.concatenate([perm, np.arange(n_full, nr_pad, dtype=np.int32)])
+        inv_full = np.empty_like(full_perm)
+        inv_full[full_perm] = np.arange(nr_pad, dtype=np.int32)
+        all_rows = all_rows[full_perm]
+        lam0 = lam0[full_perm]
     iinv9 = iinv_world.reshape(model.n_bodies * 9, b)
     vel_out, lam_all, push6 = sp.solver_sweep_envlast_slim(
         all_rows, vel6_flat, lam0, iinv9, model.inv_mass, idx6_a, idx6_b,
         parent, mu, model.n_iterations, n_full, kind=kind_arr, skip_b=skip_b,
-        chunk=chunk, interpret=interpret,
+        chunk=chunk, interpret=interpret, groups=groups,
     )
+    if perm is not None:
+        lam_all = lam_all[inv_full]
 
     lam = lam_all[:nrj]
     if n_pair:

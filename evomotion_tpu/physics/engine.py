@@ -1079,15 +1079,109 @@ def _get_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int =
     )
 
 
+def _schedule_rows(idx6_a, idx6_b, parent, skip_b, chunk=8):
+    """Static visit order + disjoint GROUPS for the fused sweep.
+
+    The sweep is a serial Gauss-Seidel chain: Mosaic must serialize every
+    row's load/update of the shared velocity buffer, so consecutive rows
+    cannot overlap even when they touch different bodies (measured: the
+    kernel is latency-bound per row visit). This scheduler permutes the
+    rows and partitions each DMA chunk into GROUPS of rows with pairwise
+    DISJOINT bodies; the kernel then performs all of a group's velocity
+    loads before any of its stores, giving the compiler provably
+    independent work to overlap. Rows in one group see each other's
+    pre-group velocities (a <=chunk-wide Jacobi block) — the same ordering
+    relaxation the xla backend's colored phases already take, far gentler
+    (group width <= 8 vs whole-color phases); strict-Bullet parity mode
+    bypasses the permutation and keeps the exact sequential order.
+
+    Constraints: a friction row's parent normal must land in an EARLIER
+    group (its clamp reads the parent's accumulated impulse); groups never
+    span DMA chunk boundaries. Returns (perm [N] int32, groups: tuple of
+    per-visit-position group sizes encoded as a tuple of (start, size))."""
+    n = len(idx6_a)
+    a = idx6_a // 6
+    bb = np.where(skip_b, -1, idx6_b // 6)
+    last_use = np.full(int(max(a.max(), bb.max()) + 2), -(10**9), np.int64)
+    scheduled = np.zeros(n, bool)
+    parent_ok = parent < 0  # eligible once the parent's group is CLOSED
+    perm = np.empty(n, np.int64)
+    groups = []
+    order_bias = -np.arange(n) * 1e-9  # stable tie-break: earlier first
+    t = 0
+    while t < n:
+        # one chunk: pack groups until `chunk` rows are placed (or rows run out)
+        in_chunk = 0
+        while in_chunk < chunk and t < n:
+            group_start = t
+            used = set()
+            closed_parent_ok = parent_ok.copy()
+            while in_chunk < chunk and t < n:
+                score_a = t - last_use[a]
+                score_b = np.where(bb >= 0, t - last_use[bb], 10**9)
+                score = np.minimum(score_a, score_b).astype(np.float64) + order_bias
+                score[scheduled] = -np.inf
+                score[~closed_parent_ok] = -np.inf
+                if used:
+                    bad = np.isin(a, list(used)) | (
+                        (bb >= 0) & np.isin(bb, list(used))
+                    )
+                    score[bad] = -np.inf
+                v = int(np.argmax(score))
+                if not np.isfinite(score[v]):
+                    break  # nothing fits this group
+                perm[t] = v
+                scheduled[v] = True
+                used.add(int(a[v]))
+                if bb[v] >= 0:
+                    used.add(int(bb[v]))
+                last_use[a[v]] = t
+                if bb[v] >= 0:
+                    last_use[bb[v]] = t
+                t += 1
+                in_chunk += 1
+            if t == group_start:
+                # stuck: every candidate's parent sits in a just-closed
+                # group's snapshot — recompute eligibility against all
+                # scheduled rows and emit a single-row group
+                elig = ~scheduled & (
+                    (parent < 0) | scheduled[np.clip(parent, 0, n - 1)]
+                )
+                v = int(np.nonzero(elig)[0][0])
+                perm[t] = v
+                scheduled[v] = True
+                last_use[a[v]] = t
+                if bb[v] >= 0:
+                    last_use[bb[v]] = t
+                t += 1
+                in_chunk += 1
+                groups.append((group_start, 1))
+            else:
+                groups.append((group_start, t - group_start))
+            # a group closes: its rows' children become eligible
+            parent_ok = parent_ok | (
+                (parent >= 0) & scheduled[np.clip(parent, 0, n - 1)]
+            )
+            if in_chunk >= chunk:
+                in_chunk = 0
+    return perm.astype(np.int32), tuple(groups)
+
+
 def _solver_meta(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int):
     """Static per-row solver metadata (body offsets, bound kinds, friction
-    parents) in the canonical full/push row order — shared by the per-env
-    custom_vmap wrapper below and the env-last batched path (batched.py).
+    parents) — shared by the per-env custom_vmap wrapper below and the
+    env-last batched path (batched.py).
 
     n_dyn counts member contact POINTS (pairs x member_manifold_k),
     flattened pair-major to match _member_contact_rows.
 
-    Returns (idx6_a, idx6_b, parent, mu, kind_arr, skip_b)."""
+    For kind=="full" on non-strict models the rows are returned in a
+    latency-optimized VISIT order (see _schedule_rows) together with the
+    permutation `perm` (canonical index of the row at each visit position);
+    callers gather row data/lam0 by `perm` and scatter lambdas back through
+    its inverse. strict_bullet keeps the canonical Bullet order (perm=None).
+
+    Returns (idx6_a, idx6_b, parent, mu, kind_arr, skip_b, perm)."""
     from . import solver_pallas as sp
 
     k = MAX_CONTACTS_PER_PAIR
@@ -1158,15 +1252,39 @@ def _solver_meta(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int):
         skip_b = np.concatenate(
             [np.ones(n_pair * k, bool), np.zeros(n_dyn, bool)]
         )
-    return idx6_a, idx6_b, parent, mu, kind_arr, skip_b
+    perm = None
+    groups = None
+    import os
+
+    schedule_on = os.environ.get("EVOMOTION_ROW_SCHEDULE", "1") == "1"
+    if (kind == "full" and not model.strict_bullet and schedule_on
+            and len(idx6_a) > 1):
+        chunk = int(os.environ.get("EVOMOTION_PALLAS_CHUNK", "8"))
+        perm, groups = _schedule_rows(idx6_a, idx6_b, parent, skip_b, chunk)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm), dtype=np.int32)
+        idx6_a = idx6_a[perm]
+        idx6_b = idx6_b[perm]
+        mu = mu[perm]
+        kind_arr = kind_arr[perm]
+        skip_b = skip_b[perm]
+        old_parent = parent[perm]
+        parent = np.where(old_parent >= 0, inv[np.clip(old_parent, 0, None)], -1)
+    return idx6_a, idx6_b, parent, mu, kind_arr, skip_b, perm, groups
 
 
 def _build_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int):
     from . import solver_pallas as sp
 
-    idx6_a, idx6_b, parent, mu, kind_arr, skip_b = _solver_meta(
+    idx6_a, idx6_b, parent, mu, kind_arr, skip_b, perm, groups = _solver_meta(
         model, kind, n_pair, n_dyn
     )
+    if perm is not None:
+        # keep the index arrays as NUMPY: the solver closure is cached across
+        # jit traces, and a jnp constant materialized during one trace would
+        # leak that trace's tracer into the next (UnexpectedTracerError)
+        inv_perm = np.empty_like(perm)
+        inv_perm[perm] = np.arange(len(perm), dtype=np.int32)
     n_iters = model.n_iterations
     interpret = jax.default_backend() != "tpu"
     import os
@@ -1176,6 +1294,9 @@ def _build_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int
     @jax.custom_batching.custom_vmap
     def solve(row_data, vel6, lam0):
         # unbatched call: pad to one kernel tile
+        if perm is not None:  # latency-optimized visit order (see _solver_meta)
+            row_data = row_data[perm]
+            lam0 = lam0[perm]
         rd = jnp.broadcast_to(row_data, (sp.TILE,) + row_data.shape) * 0
         rd = rd.at[0].set(row_data)
         v6 = jnp.zeros((sp.TILE,) + vel6.shape).at[0].set(vel6)
@@ -1183,8 +1304,10 @@ def _build_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int
         v, l = sp.solver_sweep(
             rd, v6, l0, idx6_a, idx6_b, parent, mu, n_iters,
             kind=kind_arr, skip_b=skip_b, chunk=chunk, interpret=interpret,
+            groups=groups,
         )
-        return v[0], l[0]
+        lam_out = l[0][inv_perm] if perm is not None else l[0]
+        return v[0], lam_out
 
     @solve.def_vmap
     def _solve_vmap(axis_size, in_batched, row_data, vel6, lam0):
@@ -1203,10 +1326,16 @@ def _build_pallas_solver(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int
             row_data = jnp.concatenate([row_data, jnp.zeros((pad,) + row_data.shape[1:])], 0)
             vel6 = jnp.concatenate([vel6, jnp.zeros((pad,) + vel6.shape[1:])], 0)
             lam0 = jnp.concatenate([lam0, jnp.zeros((pad,) + lam0.shape[1:])], 0)
+        if perm is not None:
+            row_data = row_data[:, perm]
+            lam0 = lam0[:, perm]
         v, l = sp.solver_sweep(
             row_data, vel6, lam0, idx6_a, idx6_b, parent, mu, n_iters,
             kind=kind_arr, skip_b=skip_b, chunk=chunk, interpret=interpret,
+            groups=groups,
         )
+        if perm is not None:
+            l = l[:, inv_perm]
         return (v[:b], l[:b]), (True, True)
 
     return solve

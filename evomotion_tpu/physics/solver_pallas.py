@@ -84,6 +84,8 @@ def _sweep_kernel(
     chunk: int,
     n_chunks: int,
     n_buf: int,
+    groups=None,  # static ((start, size), ...) in visit positions — see
+    # engine._schedule_rows; None = strict sequential order
 ):
     tile = pl.program_id(0)
 
@@ -100,39 +102,55 @@ def _sweep_kernel(
     for w in range(n_buf - 1):
         dma(w, w).start()
 
+    if groups is None:
+        chunk_groups = [
+            [(r, 1) for r in range(chunk)] for _c in range(n_chunks)
+        ]
+    else:
+        chunk_groups = [[] for _c in range(n_chunks)]
+        for st, sz in groups:
+            chunk_groups[st // chunk].append((st % chunk, sz))
+
     def iter_body(_, carry):
         for c in range(n_chunks):
             nxt = (c + n_buf - 1) % n_chunks
             dma(nxt % n_buf, nxt).start()
             dma(c % n_buf, c).wait()
             slot = c % n_buf
-            for r in range(chunk):
-                rid = c * chunk + r
-                if rid >= len(meta):
-                    continue
-                ia6, ib6, kind, mu, parent, skip_b = meta[rid]
-                rd = buf[slot, r]  # [ROW_F, SUB, LANE]
-                va = vel_out[ia6:ia6 + 6]  # [6, SUB, LANE]
-                jv = jnp.sum(rd[_J0:_J0 + 6] * va, axis=0)
-                if not skip_b:
-                    vb = vel_out[ib6:ib6 + 6]
-                    jv = jv + jnp.sum(rd[_J0 + 6:_J0 + 12] * vb, axis=0)
+            for g_off, g_size in chunk_groups[c]:
+                # load/compute phase over the group's pairwise-disjoint rows
+                # (same group relaxation as the slim env-last kernel)
+                entries = []
+                for r in range(g_off, g_off + g_size):
+                    rid = c * chunk + r
+                    if rid >= len(meta):
+                        continue
+                    ia6, ib6, kind, mu, parent, skip_b = meta[rid]
+                    rd = buf[slot, r]  # [ROW_F, SUB, LANE]
+                    va = vel_out[ia6:ia6 + 6]  # [6, SUB, LANE]
+                    jv = jnp.sum(rd[_J0:_J0 + 6] * va, axis=0)
+                    vb = None
+                    if not skip_b:
+                        vb = vel_out[ib6:ib6 + 6]
+                        jv = jv + jnp.sum(rd[_J0 + 6:_J0 + 12] * vb, axis=0)
 
-                lam_r = lam_out[rid]
-                delta = (rd[_RHS] - jv) * rd[_IEF]
-                cand = lam_r + delta
-                if kind == KIND_JOINT:
-                    new_l = jnp.clip(cand, rd[_LO], rd[_HI])
-                elif kind == KIND_NORMAL:
-                    new_l = jnp.maximum(cand, 0.0)
-                else:  # friction: live clamp to the parent normal impulse
-                    lim = mu * lam_out[parent]
-                    new_l = jnp.clip(cand, -lim, lim)
-                d = new_l - lam_r
-                lam_out[rid] = new_l
-                vel_out[ia6:ia6 + 6] = va + rd[_DVA:_DVA + 6] * d[None]
-                if not skip_b:
-                    vel_out[ib6:ib6 + 6] = vb + rd[_DVB:_DVB + 6] * d[None]
+                    lam_r = lam_out[rid]
+                    delta = (rd[_RHS] - jv) * rd[_IEF]
+                    cand = lam_r + delta
+                    if kind == KIND_JOINT:
+                        new_l = jnp.clip(cand, rd[_LO], rd[_HI])
+                    elif kind == KIND_NORMAL:
+                        new_l = jnp.maximum(cand, 0.0)
+                    else:  # friction: live clamp to the parent normal impulse
+                        lim = mu * lam_out[parent]
+                        new_l = jnp.clip(cand, -lim, lim)
+                    d = new_l - lam_r
+                    entries.append((rid, ia6, ib6, skip_b, rd, va, vb, new_l, d))
+                for rid, ia6, ib6, skip_b, rd, va, vb, new_l, d in entries:
+                    lam_out[rid] = new_l
+                    vel_out[ia6:ia6 + 6] = va + rd[_DVA:_DVA + 6] * d[None]
+                    if not skip_b:
+                        vel_out[ib6:ib6 + 6] = vb + rd[_DVB:_DVB + 6] * d[None]
         return carry
 
     jax.lax.fori_loop(0, n_iters, iter_body, 0)
@@ -156,6 +174,7 @@ def solver_sweep(
     chunk: int = 8,
     n_buf: int = 4,
     interpret: bool = False,
+    groups=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Run the fused sweep; returns (vel6', lam'). B must be a multiple of
     1024 (callers pad)."""
@@ -197,7 +216,7 @@ def solver_sweep(
 
     kernel = functools.partial(
         _sweep_kernel, meta=meta, n_iters=n_iters, chunk=chunk,
-        n_chunks=n_chunks, n_buf=n_buf,
+        n_chunks=n_chunks, n_buf=n_buf, groups=groups,
     )
 
     in_specs = [
@@ -265,6 +284,7 @@ def solver_sweep_envlast(
     chunk: int = 8,
     n_buf: int = 4,
     interpret: bool = False,
+    groups=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Env-last variant of :func:`solver_sweep` with the split-impulse
     position pass FUSED into the same sweep.
@@ -321,7 +341,7 @@ def solver_sweep_envlast(
             row_r, vel_r.at[0], lam_r.at[0], velo_r.at[0],
             lamo_r.at[0], pvo_r.at[0], buf, pv, plam, sem,
             meta=meta, n_iters=n_iters, chunk=chunk, n_chunks=n_chunks,
-            n_buf=n_buf,
+            n_buf=n_buf, groups=groups,
         )
 
     vel_out, lam_out, push_out = pl.pallas_call(
@@ -377,7 +397,7 @@ def _sweep_kernel_envlast(
     row_hbm,  # [NR_pad, ROW_FP, G, SUB, LANE] in ANY/HBM
     vel_in, lam_in, vel_out, lam_out, push_out,  # VMEM tile views [X, SUB, LANE]
     buf, pv, plam, sem,
-    *, meta, n_iters, chunk, n_chunks, n_buf,
+    *, meta, n_iters, chunk, n_chunks, n_buf, groups=None,
 ):
     """Same sweep as :func:`_sweep_kernel`, but the HBM row array carries the
     grid dim third (env-last host layout) so the chunk DMA slices rows first,
@@ -474,6 +494,7 @@ def solver_sweep_envlast_slim(
     chunk: int = 8,
     n_buf: int = 4,
     interpret: bool = False,
+    groups=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Slim-row variant of :func:`solver_sweep_envlast` (see ROW_SLIM note).
 
@@ -515,7 +536,7 @@ def solver_sweep_envlast_slim(
             row_r, vel_r.at[0], lam_r.at[0], ii_r.at[0], velo_r.at[0],
             lamo_r.at[0], pvo_r.at[0], buf, plam, sem,
             meta=meta, n_iters=n_iters, chunk=chunk, n_chunks=n_chunks,
-            n_buf=n_buf,
+            n_buf=n_buf, groups=groups,
         )
 
     nb9 = nb6 // 6 * 9
@@ -581,7 +602,7 @@ def _sweep_kernel_envlast_slim(
     row_hbm,  # [NR_pad, ROW_SLIM, G, SUB, LANE] in ANY/HBM
     vel_in, lam_in, ii_in, vel_out, lam_out, pv, # VMEM tile views
     buf, plam, sem,
-    *, meta, n_iters, chunk, n_chunks, n_buf,
+    *, meta, n_iters, chunk, n_chunks, n_buf, groups=None,
 ):
     """Slim-row sweep: streams 16 floats/row, recomputes dv and 1/eff from
     the VMEM inverse-inertia tile (ii_in, [NB*9, SUB, LANE]) and static
@@ -615,67 +636,94 @@ def _sweep_kernel_envlast_slim(
             axis=0,
         )
 
+    if groups is None:
+        chunk_groups = [
+            [(r, 1) for r in range(chunk)] for _c in range(n_chunks)
+        ]
+    else:
+        chunk_groups = [[] for _c in range(n_chunks)]
+        for st, sz in groups:
+            chunk_groups[st // chunk].append((st % chunk, sz))
+
     def iter_body(_, carry):
         for c in range(n_chunks):
             nxt = (c + n_buf - 1) % n_chunks
             dma(nxt % n_buf, nxt).start()
             dma(c % n_buf, c).wait()
             slot = c % n_buf
-            for r in range(chunk):
-                rid = c * chunk + r
-                if rid >= len(meta):
-                    continue
-                (ia6, ib6, kind_r, mu_r, parent_r, skip_b_r, pslot,
-                 im_a, im_b) = meta[rid]
-                rd = buf[slot, r]  # [ROW_SLIM, SUB, LANE]
-                ia9 = ia6 // 6 * 9
-
-                dva = jnp.concatenate(
-                    [im_a * rd[0:3], matvec(ii_in[ia9:ia9 + 9], rd[3:6])], axis=0
-                )  # [6, SUB, LANE]
-                eff = jnp.sum(rd[0:6] * dva, axis=0)
-                va = vel_out[ia6:ia6 + 6]
-                jv = jnp.sum(rd[0:6] * va, axis=0)
-                if not skip_b_r:
-                    ib9 = ib6 // 6 * 9
-                    dvb = jnp.concatenate(
-                        [im_b * rd[6:9], matvec(ii_in[ib9:ib9 + 9], rd[9:12])],
+            for g_off, g_size in chunk_groups[c]:
+                # --- LOAD/COMPUTE phase: rows in one group touch pairwise
+                # disjoint bodies (engine._schedule_rows), so all their
+                # velocity loads are independent of this group's stores —
+                # giving Mosaic provably overlappable work instead of a
+                # serial load-update-store chain per row ---
+                entries = []
+                for r in range(g_off, g_off + g_size):
+                    rid = c * chunk + r
+                    if rid >= len(meta):
+                        continue
+                    (ia6, ib6, kind_r, mu_r, parent_r, skip_b_r, pslot,
+                     im_a, im_b) = meta[rid]
+                    rd = buf[slot, r]  # [ROW_SLIM, SUB, LANE]
+                    ia9 = ia6 // 6 * 9
+                    dva = jnp.concatenate(
+                        [im_a * rd[0:3], matvec(ii_in[ia9:ia9 + 9], rd[3:6])],
                         axis=0,
+                    )  # [6, SUB, LANE]
+                    eff = jnp.sum(rd[0:6] * dva, axis=0)
+                    va = vel_out[ia6:ia6 + 6]
+                    jv = jnp.sum(rd[0:6] * va, axis=0)
+                    dvb = vb = None
+                    if not skip_b_r:
+                        ib9 = ib6 // 6 * 9
+                        dvb = jnp.concatenate(
+                            [im_b * rd[6:9], matvec(ii_in[ib9:ib9 + 9], rd[9:12])],
+                            axis=0,
+                        )
+                        eff = eff + jnp.sum(rd[6:12] * dvb, axis=0)
+                        vb = vel_out[ib6:ib6 + 6]
+                        jv = jv + jnp.sum(rd[6:12] * vb, axis=0)
+                    ie = jnp.where(eff > 1e-12, 1.0 / jnp.maximum(eff, 1e-12), 0.0)
+
+                    lam_r = lam_out[rid]
+                    cand = lam_r + (rd[_SRHS] - jv) * ie
+                    if kind_r == KIND_JOINT:
+                        new_l = jnp.clip(cand, rd[_SLO], rd[_SHI])
+                    elif kind_r == KIND_NORMAL:
+                        new_l = jnp.maximum(cand, 0.0)
+                    else:
+                        lim = mu_r * lam_out[parent_r]  # parent: earlier group
+                        new_l = jnp.clip(cand, -lim, lim)
+                    d = new_l - lam_r
+
+                    pp = None
+                    if pslot >= 0:
+                        pva = pv[ia6:ia6 + 6]
+                        jvp = jnp.sum(rd[0:6] * pva, axis=0)
+                        pvb = None
+                        if not skip_b_r:
+                            pvb = pv[ib6:ib6 + 6]
+                            jvp = jvp + jnp.sum(rd[6:12] * pvb, axis=0)
+                        pl_r = plam[pslot]
+                        new_pl = jnp.maximum(pl_r + (rd[_SRHSP] - jvp) * ie, 0.0)
+                        pp = (pva, pvb, new_pl, new_pl - pl_r)
+                    entries.append(
+                        (rid, ia6, ib6, skip_b_r, pslot, dva, dvb, va, vb,
+                         new_l, d, pp)
                     )
-                    eff = eff + jnp.sum(rd[6:12] * dvb, axis=0)
-                    vb = vel_out[ib6:ib6 + 6]
-                    jv = jv + jnp.sum(rd[6:12] * vb, axis=0)
-                ie = jnp.where(eff > 1e-12, 1.0 / jnp.maximum(eff, 1e-12), 0.0)
-
-                lam_r = lam_out[rid]
-                cand = lam_r + (rd[_SRHS] - jv) * ie
-                if kind_r == KIND_JOINT:
-                    new_l = jnp.clip(cand, rd[_SLO], rd[_SHI])
-                elif kind_r == KIND_NORMAL:
-                    new_l = jnp.maximum(cand, 0.0)
-                else:
-                    lim = mu_r * lam_out[parent_r]
-                    new_l = jnp.clip(cand, -lim, lim)
-                d = new_l - lam_r
-                lam_out[rid] = new_l
-                vel_out[ia6:ia6 + 6] = va + dva * d[None]
-                if not skip_b_r:
-                    vel_out[ib6:ib6 + 6] = vb + dvb * d[None]
-
-                if pslot >= 0:
-                    # split-impulse position pass on the same row data
-                    pva = pv[ia6:ia6 + 6]
-                    jvp = jnp.sum(rd[0:6] * pva, axis=0)
+                # --- STORE phase ---
+                for (rid, ia6, ib6, skip_b_r, pslot, dva, dvb, va, vb,
+                     new_l, d, pp) in entries:
+                    lam_out[rid] = new_l
+                    vel_out[ia6:ia6 + 6] = va + dva * d[None]
                     if not skip_b_r:
-                        pvb = pv[ib6:ib6 + 6]
-                        jvp = jvp + jnp.sum(rd[6:12] * pvb, axis=0)
-                    pl_r = plam[pslot]
-                    new_pl = jnp.maximum(pl_r + (rd[_SRHSP] - jvp) * ie, 0.0)
-                    dp = new_pl - pl_r
-                    plam[pslot] = new_pl
-                    pv[ia6:ia6 + 6] = pva + dva * dp[None]
-                    if not skip_b_r:
-                        pv[ib6:ib6 + 6] = pvb + dvb * dp[None]
+                        vel_out[ib6:ib6 + 6] = vb + dvb * d[None]
+                    if pslot >= 0:
+                        pva, pvb, new_pl, dp = pp
+                        plam[pslot] = new_pl
+                        pv[ia6:ia6 + 6] = pva + dva * dp[None]
+                        if not skip_b_r:
+                            pv[ib6:ib6 + 6] = pvb + dvb * dp[None]
         return carry
 
     jax.lax.fori_loop(0, n_iters, iter_body, 0)

@@ -84,7 +84,7 @@ lam = jnp.zeros((nr_pad, N))
 iinv9 = jnp.broadcast_to(
     jnp.eye(3).reshape(9)[None, :, None], (m.n_bodies, 9, N)
 ).reshape(m.n_bodies * 9, N)
-ia, ib, parent, mu, kind, skip_b = E._solver_meta(m, "full", n_pair, n_dyn)
+ia, ib, parent, mu, kind, skip_b, _perm, _groups = E._solver_meta(m, "full", n_pair, n_dyn)
 
 
 @jax.jit

@@ -114,7 +114,7 @@ nr_pad = B._round_rows(n_full, 8)
 rows = jax.random.normal(jax.random.PRNGKey(1), (nr_pad, sp.ROW_FP, N)) * 0.01
 vel = jnp.zeros((m.n_bodies * 6, N))
 lam = jnp.zeros((nr_pad, N))
-ia, ib, parent, mu, kind, skip_b = E._solver_meta(m, "full", n_pair, n_dyn)
+ia, ib, parent, mu, kind, skip_b, _perm, _groups = E._solver_meta(m, "full", n_pair, n_dyn)
 
 
 def kern(rows, vel, lam):
