@@ -1177,9 +1177,12 @@ def _solver_meta(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int):
 
     For kind=="full" on non-strict models the rows are returned in a
     latency-optimized VISIT order (see _schedule_rows) together with the
-    permutation `perm` (canonical index of the row at each visit position);
-    callers gather row data/lam0 by `perm` and scatter lambdas back through
-    its inverse. strict_bullet keeps the canonical Bullet order (perm=None).
+    permutation `perm` when EVOMOTION_ROW_SCHEDULE=1; callers gather row
+    data/lam0 by `perm` and scatter lambdas back through its inverse.
+    DEFAULT OFF: quiet-chip A/B measured the kernel unchanged (it sits at
+    ~78% of its DMA bandwidth floor, not on row-to-row latency) while the
+    row/lam gathers cost ~1.8 ms/step at B=2048 — kept for experimentation.
+    strict_bullet always keeps the canonical Bullet order (perm=None).
 
     Returns (idx6_a, idx6_b, parent, mu, kind_arr, skip_b, perm)."""
     from . import solver_pallas as sp
@@ -1256,7 +1259,7 @@ def _solver_meta(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int):
     groups = None
     import os
 
-    schedule_on = os.environ.get("EVOMOTION_ROW_SCHEDULE", "1") == "1"
+    schedule_on = os.environ.get("EVOMOTION_ROW_SCHEDULE", "0") == "1"
     if (kind == "full" and not model.strict_bullet and schedule_on
             and len(idx6_a) > 1):
         chunk = int(os.environ.get("EVOMOTION_PALLAS_CHUNK", "8"))

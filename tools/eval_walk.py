@@ -35,18 +35,24 @@ WIN = 1800
 env = RobotWalkFactory({}).make(args.seed, mt_parity=False)
 
 if args.tier == "ppo":
-    from evomotion_tpu.train.ppo_batched import (
-        BatchedPpo, PpoConfig, load_train_state, normalize_obs,
-    )
+    # load only the policy-relevant components (the checkpoint's env batch
+    # size need not match this tool's)
+    from evomotion_tpu.networks.modules import actor_init
+    from evomotion_tpu.train.checkpoint import load_component
 
-    trainer = BatchedPpo(env, PpoConfig(hidden_size=args.hidden, n_envs=1),
-                         seed=args.seed)
-    ts = load_train_state(args.ckpt, trainer.init())
-    actor_params = ts.actor_params
-    use_norm = float(ts.obs_count) > 0.5
+    template = actor_init(jax.random.PRNGKey(0), env.observation_size,
+                          env.action_size, args.hidden)
+    actor_params = load_component(args.ckpt, "train_actor_params", template)
+    s = env.observation_size
+    obs_mean = load_component(args.ckpt, "train_obs_mean", jnp.zeros((s,)))
+    obs_var = load_component(args.ckpt, "train_obs_var", jnp.ones((s,)))
+    obs_count = load_component(args.ckpt, "train_obs_count", jnp.float32(0.0))
+    use_norm = float(obs_count) > 0.5
 
     def policy(obs):
-        obs_in = normalize_obs(ts, obs) if use_norm else obs
+        obs_in = (
+            (obs - obs_mean) * jax.lax.rsqrt(obs_var + 1e-8) if use_norm else obs
+        )
         mu, _ = actor_apply(actor_params, obs_in)
         return jnp.clip(mu, -1.0, 1.0)
 else:
