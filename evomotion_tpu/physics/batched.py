@@ -521,8 +521,10 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
         dist = jnp.where(jnp.asarray(hmask[widx])[:, :, None] > 0, dist, 1e9)
         # face-axis MTV contribution from the SAME fused chain (engine
         # mirror): padded faces sit at -1e9 (max ignores), padded verts
-        # repeat vertex 0 (min unaffected)
-        pen_face = -jnp.max(jnp.min(d, 1), 1)  # [P, B]
+        # repeat vertex 0 (min unaffected); edge-arbitration only
+        pen_face = (
+            -jnp.max(jnp.min(d, 1), 1) if model.member_edge_contacts else None
+        )  # [P, B]
 
         pts, nrms, gaps, vids = [], [], [], []
         g = dist
@@ -582,12 +584,14 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
     later = (jnp.arange(kd)[None, :, None] > jnp.arange(kd)[None, None, :])[..., None]
     raw_gap = jnp.where(((d2 < DEDUP_TOL**2) & later).any(2), 1e9, raw_gap)
 
-    # edge-edge separating axes (mirror of engine._dyn_narrowphase): uniform
-    # support SAT over face axes of both hulls + cross(edge, edge) axes; if
-    # the minimal-overlap axis is an edge cross axis (0.95 face preference),
-    # the manifold becomes that single edge contact. Own-hull projections on
-    # own face normals are static (precomputed numpy intervals); only the
-    # other hull's projections are computed per env.
+    # edge-edge separating axes (mirror of engine._dyn_narrowphase,
+    # gated by model.member_edge_contacts): uniform support SAT over
+    # cross(edge, edge) axes vs the face-axis MTV from the fused reduce.
+    if not model.member_edge_contacts:
+        marg = model.margin[ia] + model.margin[ib]  # static numpy
+        gap = raw_gap - jnp.asarray(marg)[:, None, None]
+        vid = jnp.where(raw_gap > 1e8, -1.0, vid)
+        return point, n, gap, jnp.round(vid).astype(jnp.int32)
     big = 1e9
     npair = len(ia)
     edirs, emask = _get_hull_edges(model)

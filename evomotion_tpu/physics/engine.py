@@ -819,8 +819,10 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
         # fused chain): depth of W's deepest vertex below each F-face plane,
         # minimized over faces = the face-axis MTV contribution. Padded faces
         # sit at -1e9 so the max ignores them; padded verts repeat vertex 0
-        # so the min is unaffected.
-        pen_face = -jnp.max(jnp.min(d, 1), -1)  # [P]
+        # so the min is unaffected. Only needed for edge-axis arbitration.
+        pen_face = (
+            -jnp.max(jnp.min(d, 1), -1) if model.member_edge_contacts else None
+        )  # [P]
         neg, v_id = jax.lax.top_k(-dist, kd)  # K deepest vertices [P, K]
         gap = -neg
         hsel = jnp.take_along_axis(hw, v_id[..., None], 1)  # [P, K, 3]
@@ -864,7 +866,12 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
     # take the interval overlap; if the minimal-overlap axis is an EDGE
     # cross axis (strictly smaller than every face axis, 0.95 feature-
     # preference factor like box-box solvers use), the manifold becomes the
-    # single edge contact along that axis.
+    # single edge contact along that axis. Gated by
+    # model.member_edge_contacts (the fidelity default).
+    if not model.member_edge_contacts:
+        gap = raw_gap - (marg[ia] + marg[ib])[:, None]
+        vid = jnp.where(raw_gap > 1e8, -1, vid)
+        return point, n, gap, vid
     edirs, emask = _get_hull_edges(model)
     ea = maths.quat_rotate(quat[ia][:, None], jnp.asarray(edirs[ia]))  # [P,E,3]
     eb = maths.quat_rotate(quat[ib][:, None], jnp.asarray(edirs[ib]))

@@ -168,6 +168,11 @@ class PhysicsModel:
     # incident-face clipping; K penetrating corner vertices represent the
     # same face-face patch). K=1 reproduces the round-2 single-point contact.
     member_manifold_k: int = 4
+    # edge-edge separating axes in the member narrowphase (support SAT over
+    # cross(edge_a, edge_b); resolves edge-on-edge interlocks EPA would).
+    # Default on — the fidelity configuration; turn off to trade the
+    # edge-axis support passes for throughput.
+    member_edge_contacts: bool = True
     # strict-Bullet configuration for parity runs (engine.py module docstring
     # lists the default-mode divergences this flag removes):
     # - limit-row correction velocity uncapped (Bullet applies no cap)
