@@ -610,10 +610,14 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
     )
     e_ok = cr_ok.reshape(npair, ne * ne, -1)
 
-    ha = hull[ia]  # static [P,V,3]
-    hb = hull[ib]
-    ma = hmask[ia] > 0
-    mb = hmask[ib] > 0
+    # supports use only the true hull vertices: they precede the
+    # edge-subdivision test points in np_hull, so the first-12 slice is
+    # support-exact at half the vertex extent (engine mirror)
+    nsupp = min(12, hull.shape[1])
+    ha = hull[ia][:, :nsupp]  # static [P,S,3]
+    hb = hull[ib][:, :nsupp]
+    ma = hmask[ia][:, :nsupp] > 0  # all slice entries are support-safe
+    mb = hmask[ib][:, :nsupp] > 0
 
     def _supports(h, m, axes_local):
         """min/max projection of a static hull on per-env local axes
@@ -673,8 +677,8 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
         ohv = (jnp.arange(h.shape[1])[None, :, None] == v_id[:, None]).astype(jnp.float32)
         return jnp.einsum("pvn,pvj->pjn", ohv, jnp.asarray(h))  # local [P,3,B]
 
-    sa = pos[ia] + _qrot(quat[ia], _support_pt(hull[ia], hmask[ia], la_e, False))
-    sb = pos[ib] + _qrot(quat[ib], _support_pt(hull[ib], hmask[ib], lb_e, True))
+    sa = pos[ia] + _qrot(quat[ia], _support_pt(ha, ma, la_e, False))
+    sb = pos[ib] + _qrot(quat[ib], _support_pt(hb, mb, lb_e, True))
     iota_ne = jnp.arange(ne)[None, :, None]
     oha = (iota_ne == (e_best // ne)[:, None]).astype(jnp.float32)  # [P,E,B]
     ohb = (iota_ne == (e_best % ne)[:, None]).astype(jnp.float32)

@@ -722,7 +722,7 @@ def _n_dyn_contacts(model: PhysicsModel) -> int:
 DEDUP_TOL = 0.01
 
 _get_edges_cached = _model_cache("hull_edges")
-_EDGE_DIRS = 4  # unique edge directions kept per proxy hull
+_EDGE_DIRS = 3  # unique edge directions kept per proxy hull
 
 
 def _get_hull_edges(model: PhysicsModel):
@@ -885,10 +885,16 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
     npair = len(ia)
     e_axes = (cr / jnp.maximum(cr_len, 1e-12)[..., None]).reshape(npair, -1, 3)
     e_ok = cr_ok.reshape(npair, -1)
-    ha = jnp.asarray(hull[ia])  # [P,V,3]
-    hb = jnp.asarray(hull[ib])
-    ma = jnp.asarray(hmask[ia]) > 0  # [P,V]
-    mb = jnp.asarray(hmask[ib]) > 0
+    # supports use only the TRUE hull vertices: the decimated hull has at
+    # most NP_VERTS (12) of them and they precede the edge-subdivision test
+    # points in np_hull (model.np_support_mask documents the exact set; any
+    # test points inside the slice are interior and never extreme, so the
+    # slice is support-exact at half the vertex extent)
+    nsupp = min(12, hull.shape[1])
+    ha = jnp.asarray(hull[ia][:, :nsupp])  # [P,S,3]
+    hb = jnp.asarray(hull[ib][:, :nsupp])
+    ma = jnp.asarray(hmask[ia][:, :nsupp]) > 0  # all slice entries are
+    mb = jnp.asarray(hmask[ib][:, :nsupp]) > 0  # support-safe (see above)
     big = 1e9
 
     def sat_overlap(axes_w, ok):

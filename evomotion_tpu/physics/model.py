@@ -136,6 +136,11 @@ class PhysicsModel:
     dyn_pair_body: np.ndarray  # [NDP, 2]
     np_hull: np.ndarray  # [NB, NPV, 3] proxy hull points (pad = repeat pt 0)
     np_hull_mask: np.ndarray  # [NB, NPV]
+    # marks the TRUE decimated hull vertices within np_hull (the tail of the
+    # point budget is long-edge subdivision TEST points — needed for the
+    # vertex-vs-face crossing test but never extreme under a linear
+    # functional, so support/interval projections skip them)
+    np_support_mask: np.ndarray  # [NB, NPV]
     np_face: np.ndarray  # [NB, NPF, 4] local face planes (n, d): n.x+d<=0 inside
     np_face_mask: np.ndarray  # [NB, NPF]
     # static coloring of dyn pairs for the xla backend's Gauss-Seidel phases
@@ -459,7 +464,7 @@ class ModelBuilder:
 
         nb = len(self.bodies)
         used = set(int(x) for x in dyn_pairs.flatten()) if len(dyn_pairs) else set()
-        verts_per, faces_per = {}, {}
+        verts_per, faces_per, n_hull_verts = {}, {}, {}
         vmax = fmax = 1
         for i in sorted(used):
             pts = reduce_to_hull(self.bodies[i].hull, self.NP_VERTS)
@@ -505,11 +510,13 @@ class ModelBuilder:
                         (-float(np.linalg.norm(half[0] - half[1])), ctr, *half),
                     )
             verts_per[i] = np.asarray(test_pts, dtype=np.float32)
+            n_hull_verts[i] = len(pts)  # true hull verts precede test points
             faces_per[i] = np.array(uniq)
             vmax = max(vmax, len(test_pts))
             fmax = max(fmax, len(uniq))
         np_hull = np.zeros((nb, vmax, 3), dtype=np.float32)
         np_hull_mask = np.zeros((nb, vmax), dtype=np.float32)
+        np_support_mask = np.zeros((nb, vmax), dtype=np.float32)
         np_face = np.zeros((nb, fmax, 4), dtype=np.float32)
         # unreal faces: a plane far below everything keeps max() harmless
         np_face[:, :, 1] = 1.0
@@ -520,9 +527,10 @@ class ModelBuilder:
             np_hull[i, : len(v)] = v
             np_hull[i, len(v):] = v[0]
             np_hull_mask[i, : len(v)] = 1.0
+            np_support_mask[i, : n_hull_verts[i]] = 1.0
             np_face[i, : len(f)] = f
             np_face_mask[i, : len(f)] = 1.0
-        return np_hull, np_hull_mask, np_face, np_face_mask
+        return np_hull, np_hull_mask, np_support_mask, np_face, np_face_mask
 
     def _prune_unreachable_dyn_pairs(self, dyn_pairs: np.ndarray) -> np.ndarray:
         """Drop member pairs that provably can NEVER touch given joint limits
@@ -671,9 +679,8 @@ class ModelBuilder:
         dyn_pairs = self._prune_unreachable_dyn_pairs(dyn_pairs)
 
         # narrowphase proxy hulls + local face planes for dyn-dyn SAT
-        np_hull, np_hull_mask, np_face, np_face_mask = self._narrowphase_geometry(
-            dyn_pairs
-        )
+        (np_hull, np_hull_mask, np_support_mask, np_face,
+         np_face_mask) = self._narrowphase_geometry(dyn_pairs)
         dyn_pair_color = self._color_dyn_pairs(dyn_pairs)
 
         inertia = np.stack([self._inertia(b) for b in self.bodies])
@@ -722,6 +729,7 @@ class ModelBuilder:
             dyn_pair_body=dyn_pairs.astype(np.int32),
             np_hull=np_hull,
             np_hull_mask=np_hull_mask,
+            np_support_mask=np_support_mask,
             np_face=np_face,
             np_face_mask=np_face_mask,
             dyn_pair_color=dyn_pair_color,
