@@ -722,7 +722,7 @@ def _n_dyn_contacts(model: PhysicsModel) -> int:
 DEDUP_TOL = 0.01
 
 _get_edges_cached = _model_cache("hull_edges")
-_EDGE_DIRS = 3  # unique edge directions kept per proxy hull
+_EDGE_DIRS = 4  # unique edge directions kept per proxy hull
 
 
 def _get_hull_edges(model: PhysicsModel):
@@ -1190,12 +1190,16 @@ def _solver_meta(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int):
 
     For kind=="full" on non-strict models the rows are returned in a
     latency-optimized VISIT order (see _schedule_rows) together with the
-    permutation `perm` when EVOMOTION_ROW_SCHEDULE=1; callers gather row
+    permutation `perm` unless EVOMOTION_ROW_SCHEDULE=0; callers gather row
     data/lam0 by `perm` and scatter lambdas back through its inverse.
-    DEFAULT OFF: quiet-chip A/B measured the kernel unchanged (it sits at
-    ~78% of its DMA bandwidth floor, not on row-to-row latency) while the
-    row/lam gathers cost ~1.8 ms/step at B=2048 — kept for experimentation.
-    strict_bullet always keeps the canonical Bullet order (perm=None).
+    Perf note: quiet-chip A/B measured the kernel itself unchanged (it sits
+    at ~78% of its DMA bandwidth floor, not on row-to-row latency) while
+    the row/lam gathers cost ~1.8 ms/step at B=2048. The default stays ON
+    because solve order is part of trained-policy reproducibility: the
+    round-4 walker checkpoints score 17/64 greedy wins under this order and
+    0/64 under the canonical order (solver micro-order is behaviorally
+    load-bearing for trained gaits — runs/WALK_R4.md). strict_bullet always
+    keeps the canonical Bullet order (perm=None).
 
     Returns (idx6_a, idx6_b, parent, mu, kind_arr, skip_b, perm)."""
     from . import solver_pallas as sp
@@ -1272,7 +1276,7 @@ def _solver_meta(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int):
     groups = None
     import os
 
-    schedule_on = os.environ.get("EVOMOTION_ROW_SCHEDULE", "0") == "1"
+    schedule_on = os.environ.get("EVOMOTION_ROW_SCHEDULE", "1") == "1"
     if (kind == "full" and not model.strict_bullet and schedule_on
             and len(idx6_a) > 1):
         chunk = int(os.environ.get("EVOMOTION_PALLAS_CHUNK", "8"))

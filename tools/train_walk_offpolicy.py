@@ -63,6 +63,7 @@ WIN_STEPS = 1800
 os.makedirs(args.out, exist_ok=True)
 with open(os.path.join(args.out, "config.json"), "w") as f:
     json.dump({**vars(args), "win_steps": WIN_STEPS,
+               "row_schedule": os.environ.get("EVOMOTION_ROW_SCHEDULE", "1"),
                "env": "robot_walk", "tier": "offpolicy_batched"}, f, indent=1)
 
 env = RobotWalkFactory({}).make(args.seed, mt_parity=False)
