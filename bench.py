@@ -13,6 +13,33 @@ import time
 import jax
 import jax.numpy as jnp
 
+_HBM_GBPS = 819.0  # v5e HBM peak
+
+
+def _roofline_seconds(model, n_envs: int) -> float:
+    """Bandwidth floor for one batched physics step on this model.
+
+    This workload is HBM-bandwidth-bound, not MXU-bound (no matmuls in the
+    physics step). The floor is the solver's row traffic: the fused sweep
+    streams the packed row array from HBM once per solver iteration
+    (solver_pallas row layout; bf16 J columns + f32 scalars when split),
+    plus one write when the builder materializes it, plus narrowphase/obs
+    side traffic folded in as a flat 20% overhead."""
+    from evomotion_tpu.physics import engine as E
+    from evomotion_tpu.physics.batched import _round_rows
+    from evomotion_tpu.physics import solver_pallas as sp
+
+    n_pair = E.n_manifold_pairs(model)
+    n_dyn = E._n_dyn_contacts(model)
+    n_full = model.n_rows + n_pair * 4 + n_dyn + n_pair * 8 + n_dyn * 2
+    nr_pad = _round_rows(n_full, 8)
+    bf16 = (
+        getattr(model, "row_dtype", "f32") == "bf16" and not model.strict_bullet
+    )
+    row_bytes = nr_pad * sp.row_bytes(jnp.bfloat16 if bf16 else jnp.float32) * n_envs
+    bytes_per_step = row_bytes * (model.n_iterations + 1) * 1.2  # +20% rest
+    return bytes_per_step / (_HBM_GBPS * 1e9)
+
 
 def main():
     args = [a for a in sys.argv[1:] if a != "--strict"]
@@ -57,10 +84,38 @@ def main():
     s2, r = rollout(state, roll_keys)
     jax.block_until_ready(s2)
 
-    t0 = time.perf_counter()
-    s3, r = rollout(s2, roll_keys)
-    jax.block_until_ready(s3)
-    dt = time.perf_counter() - t0
+    # physical lower bound on a step on this hardware: the solver kernel
+    # must stream its row array from HBM once per iteration. A measurement
+    # faster than that is garbage (observed once: 498M env-steps/s printed
+    # with exit 0 while another process held the TPU — VERDICT r4 weak #6);
+    # refuse to emit it instead of poisoning BENCH/PERF records.
+    floor_s = 0.0
+    if jax.default_backend() == "tpu":
+        floor_s = _roofline_seconds(env.model, n_envs)
+
+    dt = None
+    for attempt in range(3):
+        t0 = time.perf_counter()
+        s3, r = rollout(s2, roll_keys)
+        jax.block_until_ready(s3)
+        cand = time.perf_counter() - t0
+        if cand / n_steps >= floor_s:
+            dt = cand
+            break
+        print(
+            f"bench: impossible timing ({cand / n_steps * 1e3:.3f} ms/step < "
+            f"roofline {floor_s * 1e3:.3f} ms) — device contention? retrying",
+            file=sys.stderr,
+        )
+        s2 = s3
+        time.sleep(2.0)
+    if dt is None:
+        print(
+            "bench: refusing to report — three consecutive timings were below "
+            "the hardware bandwidth floor (is another process on the TPU?)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
     steps_per_s = n_envs * n_steps / dt
 
@@ -75,19 +130,8 @@ def main():
     # close the measured step is to that bandwidth floor on this chip.
     roofline = None
     if jax.default_backend() == "tpu":
-        from evomotion_tpu.physics import engine as E
-        from evomotion_tpu.physics.batched import _round_rows
-        from evomotion_tpu.physics import solver_pallas as sp
-
-        m = env.model
-        n_pair = E.n_manifold_pairs(m)
-        n_dyn = E._n_dyn_contacts(m)
-        n_full = m.n_rows + n_pair * 4 + n_dyn + n_pair * 8 + n_dyn * 2
-        nr_pad = _round_rows(n_full, 8)
-        row_bytes = nr_pad * sp.ROW_SLIM * 4 * n_envs
-        bytes_per_step = row_bytes * (m.n_iterations + 1) * 1.2  # +20% rest
-        hbm_gbps = 819.0  # v5e HBM peak
-        roofline_s = bytes_per_step / (hbm_gbps * 1e9)
+        roofline_s = _roofline_seconds(env.model, n_envs)
+        bytes_per_step = roofline_s * _HBM_GBPS * 1e9
         step_s = dt / n_steps
         roofline = {
             "bytes_per_step_model_mb": round(bytes_per_step / 1e6, 1),

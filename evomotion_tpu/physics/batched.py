@@ -175,22 +175,23 @@ def _ang_rows(dirs):
     return jnp.stack([zeros, dirs, zeros, -dirs], axis=-3)
 
 
-def _pack(j, rhs, lo, hi, rhs_push=None):
-    """Pack one kind's rows into the slim [n, ROW_SLIM, B] layout.
+def _pack(j, rhs, lo, hi, rhs_push=None, j_dtype=jnp.float32):
+    """Pack one kind's rows into the slim two-stream layout: J columns
+    [n, ROW_J, B] (cast to j_dtype — bf16 halves the kernel's row traffic)
+    and f32 scalars [n, ROW_S, B] (rhs, lo, hi, rhs_push).
 
     j [n, 4, 3, B]; scalars [n, B]. Minv*J^T and 1/eff are recomputed
-    in-kernel (solver_pallas.ROW_SLIM); row gating is folded into J by the
-    callers (zeroed J -> eff 0 -> ie 0 -> no-op row). rhs_push fills the
+    in-kernel (solver_pallas); row gating is folded into J by the callers
+    (zeroed J -> eff 0 -> ie 0 -> no-op row). rhs_push fills the
     split-impulse column of contact normal rows (zero elsewhere)."""
     n, _, _, b = j.shape
     if rhs_push is None:
         rhs_push = jnp.zeros_like(rhs)
-    return jnp.concatenate(
-        [
-            j.reshape(n, 12, b),
-            rhs[:, None], lo[:, None], hi[:, None], rhs_push[:, None],
-        ],
-        axis=1,
+    return (
+        j.reshape(n, 12, b).astype(j_dtype),
+        jnp.concatenate(
+            [rhs[:, None], lo[:, None], hi[:, None], rhs_push[:, None]], axis=1
+        ),
     )
 
 
@@ -211,8 +212,9 @@ def _finish_dv(model, idx_a, idx_b, j, iinv_world):
 
 
 def build_joint_rows(model: PhysicsModel, pos, quat, iinv_world, motor_target,
-                     motor_enabled, dt):
-    """Env-last build of all joint rows; returns ([NRJ, 28, B], slider_lin_pos).
+                     motor_enabled, dt, j_dtype=jnp.float32):
+    """Env-last build of all joint rows; returns (j [NRJ, 12, B] in j_dtype,
+    scalars [NRJ, 4, B] f32, slider_lin_pos).
 
     Same canonical order and formulas as engine.build_joint_rows."""
     b = pos.shape[-1]
@@ -393,8 +395,8 @@ def build_joint_rows(model: PhysicsModel, pos, quat, iinv_world, motor_target,
     else:
         j = jnp.zeros((0, 4, 3, b))
         rhs = lo = hi = jnp.zeros((0, b))
-    packed = _pack(j, rhs, lo, hi)
-    return packed, slider_lin_pos
+    jj, ss = _pack(j, rhs, lo, hi, j_dtype=j_dtype)
+    return jj, ss, slider_lin_pos
 
 
 # ---------------------------------------------------------------------------
@@ -698,8 +700,12 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
     ue3 = use_edge[:, None, None]
     point = jnp.where(ue3, point.at[:, 0].set(pt_e), point)
     n = jnp.where(ue3, n.at[:, 0].set(ax_e), n)
+    # feature id encodes the winning edge pair (engine mirror): a change of
+    # separating axis invalidates the cached impulse
     vid = jnp.where(
-        use_edge[:, None], vid.at[:, 0].set(jnp.float32(2 * nv)), vid
+        use_edge[:, None],
+        vid.at[:, 0].set(jnp.float32(2 * nv) + e_best.astype(jnp.float32)),
+        vid,
     )
     edge_gap = raw_gap.at[:, 0].set(-pen_e)
     if kd > 1:
@@ -713,12 +719,12 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
 
 
 def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel,
-                         iinv_world, dt, warm_cache=None):
+                         iinv_world, dt, warm_cache=None, j_dtype=jnp.float32):
     """Member-member contacts (env-last engine._member_contact_rows).
 
-    Returns (normal [NDC, ROW_FP, B], friction [NDC*2, ROW_FP, B]) with
-    NDC = pairs x member_manifold_k manifold points flattened pair-major,
-    split-impulse rhs carried in the normal rows."""
+    Returns (normal (j, s), friction (j, s), extras) two-stream row parts
+    with NDC = pairs x member_manifold_k manifold points flattened
+    pair-major, split-impulse rhs carried in the normal rows' scalars."""
     dp = model.dyn_pair_body
     kd = model.member_manifold_k
     b = pos.shape[-1]
@@ -745,7 +751,7 @@ def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel,
     rhs_push = jnp.where(gap < 0, -gap * E.ERP2 / dt, 0.0)
     zeros = jnp.zeros((ndc, b))
     inf_ = jnp.full((ndc, b), jnp.inf)
-    normal_rows = _pack(jn_m, rhs_n, zeros, inf_, rhs_push)
+    normal_rows = _pack(jn_m, rhs_n, zeros, inf_, rhs_push, j_dtype=j_dtype)
 
     rel_vel = (
         lin_vel[ia] + _cross(ang_vel[ia], rel_a)
@@ -755,8 +761,11 @@ def _member_contact_rows(model: PhysicsModel, pos, quat, lin_vel, ang_vel,
     fr = []
     for ti, d in enumerate((t1, t2)):
         en = 1.0 if ti == 0 else t2_en
-        fr.append(_pack(rows_for(d) * en, zeros, zeros, zeros))
-    friction_rows = jnp.stack(fr, axis=1).reshape(ndc * 2, -1, b)
+        fr.append(_pack(rows_for(d) * en, zeros, zeros, zeros, j_dtype=j_dtype))
+    friction_rows = (
+        jnp.stack([f[0] for f in fr], axis=1).reshape(ndc * 2, -1, b),
+        jnp.stack([f[1] for f in fr], axis=1).reshape(ndc * 2, -1, b),
+    )
     extras = {"act": act, "vid": vid}
     if warm_cache is not None:
         # persistent warm start (engine._dyn_warm_match env-last): match
@@ -842,6 +851,14 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
     n_dyn = E._n_dyn_contacts(model)
     chunk = int(os.environ.get("EVOMOTION_PALLAS_CHUNK", "8"))
     interpret = jax.default_backend() != "tpu"
+    # J-column dtype for the streamed rows (model.row_dtype): bf16 is the
+    # throughput configuration (~0.4% rel J rounding, kernel row traffic
+    # 64 -> 40 B); strict parity always keeps f32
+    j_dtype = (
+        jnp.bfloat16
+        if getattr(model, "row_dtype", "f32") == "bf16" and not model.strict_bullet
+        else jnp.float32
+    )
 
     dyn = (model.inv_mass > 0).astype(np.float32)[:, None, None]  # [NB,1,1]
     lin_vel = lin_vel + jnp.asarray(dyn * np.asarray(E.GRAVITY)[None, :, None]) * dt
@@ -862,8 +879,9 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
     else:
         warm = jnp.zeros((0, k, 3, b))
 
-    joint_packed, slider_lin_pos = build_joint_rows(
-        model, pos, quat, iinv_world, motor_target, motor_enabled, dt
+    joint_j, joint_s, slider_lin_pos = build_joint_rows(
+        model, pos, quat, iinv_world, motor_target, motor_enabled, dt,
+        j_dtype=j_dtype,
     )
     nrj = model.n_rows
 
@@ -879,7 +897,7 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
         oh_jb = np.zeros((nrj, model.n_bodies), np.float32)
         oh_ja[np.arange(nrj), ja_np] = 1.0
         oh_jb[np.arange(nrj), jb_np] = 1.0
-        j_flat = joint_packed[:, :12].reshape(nrj, 4, 3, b)
+        j_flat = joint_j.astype(jnp.float32).reshape(nrj, 4, 3, b)
         dv_a_j, dv_b_j = _finish_dv(model, ja_np, jb_np, j_flat, iinv_world)
         dva = dv_a_j.reshape(nrj, 6, b) * jl0[:, None]
         dvb = dv_b_j.reshape(nrj, 6, b) * jl0[:, None]
@@ -933,26 +951,34 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
         normal_packed = _pack(
             jn.reshape(n_pair * k, 4, 3, b), rhs_n.reshape(-1, b),
             zeros_pk.reshape(-1, b), inf_pk.reshape(-1, b),
-            rhs_push.reshape(-1, b),
+            rhs_push.reshape(-1, b), j_dtype=j_dtype,
         )
         jt = jnp.stack([jt1, jt2], axis=2)  # [NP, K, 2, 4, 3, B]
         friction_packed = _pack(
             jt.reshape(n_pair * k * 2, 4, 3, b),
             jnp.zeros((n_pair * k * 2, b)), jnp.zeros((n_pair * k * 2, b)),
-            jnp.zeros((n_pair * k * 2, b)),
+            jnp.zeros((n_pair * k * 2, b)), j_dtype=j_dtype,
         )
     else:
-        normal_packed = jnp.zeros((0, sp.ROW_SLIM, b))
-        friction_packed = jnp.zeros((0, sp.ROW_SLIM, b))
+        normal_packed = (
+            jnp.zeros((0, sp.ROW_J, b), j_dtype), jnp.zeros((0, sp.ROW_S, b))
+        )
+        friction_packed = (
+            jnp.zeros((0, sp.ROW_J, b), j_dtype), jnp.zeros((0, sp.ROW_S, b))
+        )
 
     if n_dyn:
         member_normal, member_friction, member_x = _member_contact_rows(
             model, pos, quat, lin_vel, ang_vel, iinv_world, dt,
-            warm_cache=(dyn_vid, dyn_lambda),
+            warm_cache=(dyn_vid, dyn_lambda), j_dtype=j_dtype,
         )
     else:
-        member_normal = jnp.zeros((0, sp.ROW_SLIM, b))
-        member_friction = jnp.zeros((0, sp.ROW_SLIM, b))
+        member_normal = (
+            jnp.zeros((0, sp.ROW_J, b), j_dtype), jnp.zeros((0, sp.ROW_S, b))
+        )
+        member_friction = (
+            jnp.zeros((0, sp.ROW_J, b), j_dtype), jnp.zeros((0, sp.ROW_S, b))
+        )
         member_x = None
 
     vel6_flat = vel6.reshape(model.n_bodies * 6, b)
@@ -971,17 +997,29 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
         vel6 = vel6 + jnp.einsum(
             "pb,pin->bin", jnp.asarray(oh_c), imp.reshape(n_pair, 6, b)
         )
-        if n_dyn:
-            vel6 = vel6 + member_x["imp6"]  # member warm-start impulses
+    if n_dyn:
+        # member warm-start impulses must land whenever member rows seed
+        # lam0 below — including models with dyn pairs but zero floor pairs
+        # (previously nested under `if n_pair:`, which left the solver
+        # starting from impulses never applied to the velocities)
+        vel6 = vel6 + member_x["imp6"]
+    if n_pair or n_dyn:
         vel6_flat = vel6.reshape(model.n_bodies * 6, b)
 
     # ---- velocity pass + fused split-impulse (one sweep, canonical order) ----
     n_full = nrj + n_pair * k + n_dyn + n_pair * k * 2 + n_dyn * 2
     nr_pad = _round_rows(n_full, chunk)
-    parts = [joint_packed, normal_packed, member_normal, friction_packed, member_friction]
+    parts = [
+        (joint_j, joint_s), normal_packed, member_normal, friction_packed,
+        member_friction,
+    ]
     if nr_pad != n_full:
-        parts.append(jnp.zeros((nr_pad - n_full, sp.ROW_SLIM, b)))
-    all_rows = jnp.concatenate(parts, 0)
+        parts.append((
+            jnp.zeros((nr_pad - n_full, sp.ROW_J, b), j_dtype),
+            jnp.zeros((nr_pad - n_full, sp.ROW_S, b)),
+        ))
+    all_rows_j = jnp.concatenate([p[0] for p in parts], 0)
+    all_rows_s = jnp.concatenate([p[1] for p in parts], 0)
     m_lam_n0 = member_x["lam_n0"] if n_dyn else jnp.zeros((0, b))
     m_lam_t0 = (
         member_x["lam_t0"].reshape(n_dyn * 2, b)  # contact-major, dir-minor
@@ -1002,19 +1040,21 @@ def step_envlast(model: PhysicsModel, dt: float, pos, quat, lin_vel, ang_vel,
         model, "full", n_pair, n_dyn
     )
     if perm is not None:
-        # latency-optimized visit order (engine._schedule_rows): gather the
-        # row stream + lam0 into visit order, scatter lambdas back through
+        # non-canonical visit order (model.row_order): gather the row
+        # streams + lam0 into visit order, scatter lambdas back through
         # the inverse so extraction below stays canonical
         full_perm = np.concatenate([perm, np.arange(n_full, nr_pad, dtype=np.int32)])
         inv_full = np.empty_like(full_perm)
         inv_full[full_perm] = np.arange(nr_pad, dtype=np.int32)
-        all_rows = all_rows[full_perm]
+        all_rows_j = all_rows_j[full_perm]
+        all_rows_s = all_rows_s[full_perm]
         lam0 = lam0[full_perm]
     iinv9 = iinv_world.reshape(model.n_bodies * 9, b)
     vel_out, lam_all, push6 = sp.solver_sweep_envlast_slim(
-        all_rows, vel6_flat, lam0, iinv9, model.inv_mass, idx6_a, idx6_b,
-        parent, mu, model.n_iterations, n_full, kind=kind_arr, skip_b=skip_b,
-        chunk=chunk, interpret=interpret, groups=groups,
+        all_rows_j, all_rows_s, vel6_flat, lam0, iinv9, model.inv_mass,
+        idx6_a, idx6_b, parent, mu, model.n_iterations, n_full,
+        kind=kind_arr, skip_b=skip_b, chunk=chunk, interpret=interpret,
+        groups=groups,
     )
     if perm is not None:
         lam_all = lam_all[inv_full]

@@ -43,8 +43,13 @@ removed by ``model.strict_bullet = True`` (the parity configuration):
 
 Structural notes (not removed by strict mode):
 - the "xla" solver backend relaxes row ordering within a color phase (any
-  valid Gauss-Seidel order); the "pallas" backend keeps Bullet's strict
-  sequential order — pallas is the parity backend;
+  valid Gauss-Seidel order); the "pallas" backend visits rows in Bullet's
+  strict sequential order under strict_bullet (pallas is the parity
+  backend). For non-strict models the row order is the model's `row_order`
+  policy (see _solver_meta / _schedule_rows): "scheduled" permutes rows
+  into <=8-wide disjoint Jacobi groups, "shuffled:<seed>" is a random
+  friction-after-parent order (gait-robustness training), "canonical"
+  keeps the sequential build order;
 - member-member manifolds are up-to-K=4 SAT contacts per pair on decimated
   proxy hulls vs Bullet's GJK/EPA manifolds (see _dyn_narrowphase).
 """
@@ -955,7 +960,10 @@ def _dyn_narrowphase(model: PhysicsModel, pos, quat):
     use_edge = (pen_e < big / 2) & (pen_e > 0) & (pen_e < 0.95 * pen_f)
     point = jnp.where(use_edge[:, None, None], point.at[:, 0].set(pt_e), point)
     n = jnp.where(use_edge[:, None, None], n.at[:, 0].set(ax_e), n)
-    vid = jnp.where(use_edge[:, None], vid.at[:, 0].set(2 * nv), vid)
+    # feature id encodes the WINNING edge pair (2*nv + e_best): a change of
+    # separating axis must invalidate the cached impulse — one shared id for
+    # all edge contacts would warm-start across different normal frames
+    vid = jnp.where(use_edge[:, None], vid.at[:, 0].set(2 * nv + e_best), vid)
     edge_gap = raw_gap.at[:, 0].set(-pen_e)
     if kd > 1:
         edge_gap = edge_gap.at[:, 1:].set(1e9)  # single-point edge manifold
@@ -1180,6 +1188,25 @@ def _schedule_rows(idx6_a, idx6_b, parent, skip_b, chunk=8):
     return perm.astype(np.int32), tuple(groups)
 
 
+def _shuffled_order(n, parent, seed: int) -> np.ndarray:
+    """Seeded random row visit order with every friction row AFTER its
+    parent normal (the live mu*lam[parent] clamp reads the accumulator).
+
+    Used to train policies that are robust to solver micro-order (r4
+    finding: gaits trained under one order scored 0/64 under another —
+    runs/WALK_R4.md): training cycles several shuffled:<seed> variants plus
+    the canonical order so no single visit order is load-bearing."""
+    rng = np.random.RandomState(seed)
+    keys = rng.rand(n)
+    child = parent >= 0
+    # children sort just after their parent (epsilon offsets keep siblings
+    # distinct); any interleaving with other rows is a valid sweep order
+    keys[child] = keys[np.clip(parent, 0, None)][child] + 1e-9 * (
+        1.0 + np.arange(n)[child]
+    )
+    return np.argsort(keys, kind="stable").astype(np.int32)
+
+
 def _solver_meta(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int):
     """Static per-row solver metadata (body offsets, bound kinds, friction
     parents) — shared by the per-env custom_vmap wrapper below and the
@@ -1188,18 +1215,19 @@ def _solver_meta(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int):
     n_dyn counts member contact POINTS (pairs x member_manifold_k),
     flattened pair-major to match _member_contact_rows.
 
-    For kind=="full" on non-strict models the rows are returned in a
-    latency-optimized VISIT order (see _schedule_rows) together with the
-    permutation `perm` unless EVOMOTION_ROW_SCHEDULE=0; callers gather row
-    data/lam0 by `perm` and scatter lambdas back through its inverse.
-    Perf note: quiet-chip A/B measured the kernel itself unchanged (it sits
-    at ~78% of its DMA bandwidth floor, not on row-to-row latency) while
-    the row/lam gathers cost ~1.8 ms/step at B=2048. The default stays ON
-    because solve order is part of trained-policy reproducibility: the
-    round-4 walker checkpoints score 17/64 greedy wins under this order and
-    0/64 under the canonical order (solver micro-order is behaviorally
-    load-bearing for trained gaits — runs/WALK_R4.md). strict_bullet always
-    keeps the canonical Bullet order (perm=None).
+    For kind=="full" on non-strict models the row VISIT order follows
+    model.row_order ("canonical" | "scheduled" | "shuffled:<seed>" — see
+    the PhysicsModel field); a non-canonical order returns the permutation
+    `perm`, and callers gather row data/lam0 by `perm` and scatter lambdas
+    back through its inverse. Perf note: quiet-chip A/B measured the kernel
+    itself unchanged under "scheduled" (it sits at ~78% of its DMA
+    bandwidth floor, not on row-to-row latency) while the row/lam gathers
+    cost ~1.8 ms/step at B=2048 — so "canonical" is the throughput
+    configuration, and non-canonical orders exist for gait-robustness
+    training and A/Bs. Solve order is physics-visible to trained policies
+    (runs/WALK_R4.md), which is why it lives on the model and is stamped
+    into run configs/checkpoints. strict_bullet always keeps the canonical
+    Bullet order (perm=None).
 
     Returns (idx6_a, idx6_b, parent, mu, kind_arr, skip_b, perm)."""
     from . import solver_pallas as sp
@@ -1276,11 +1304,17 @@ def _solver_meta(model: PhysicsModel, kind: str, n_pair: int, n_dyn: int):
     groups = None
     import os
 
-    schedule_on = os.environ.get("EVOMOTION_ROW_SCHEDULE", "1") == "1"
-    if (kind == "full" and not model.strict_bullet and schedule_on
+    order = getattr(model, "row_order", "scheduled")
+    if (kind == "full" and not model.strict_bullet and order != "canonical"
             and len(idx6_a) > 1):
         chunk = int(os.environ.get("EVOMOTION_PALLAS_CHUNK", "8"))
-        perm, groups = _schedule_rows(idx6_a, idx6_b, parent, skip_b, chunk)
+        if order == "scheduled":
+            perm, groups = _schedule_rows(idx6_a, idx6_b, parent, skip_b, chunk)
+        elif order.startswith("shuffled:"):
+            perm = _shuffled_order(len(idx6_a), parent, int(order.split(":")[1]))
+            groups = None  # strictly sequential visits in shuffled order
+        else:
+            raise ValueError(f"unknown row_order {order!r}")
         inv = np.empty_like(perm)
         inv[perm] = np.arange(len(perm), dtype=np.int32)
         idx6_a = idx6_a[perm]
@@ -1482,6 +1516,20 @@ def _physics_step_impl(
     else:
         jl0 = jnp.zeros((model.n_rows,))
 
+    # member-member (dyn-dyn) rows for the pallas backend: computed
+    # regardless of whether any dynamic-static manifold pairs exist — a
+    # model with dyn pairs but zero floor pairs must still solve member
+    # contacts, and both backends must agree on that configuration
+    n_dyn = _n_dyn_contacts(model) if model.solver == "pallas" else 0
+    if n_dyn:
+        member_normal, member_friction, member_push, member_x = (
+            _member_contact_rows(
+                model, state.pos, state.quat, lin_vel, ang_vel,
+                iinv_world, dt,
+                warm_cache=(state.dyn_vid, state.dyn_lambda),
+            )
+        )
+
     if n_pair:
         r_a = contacts.point - state.pos[contacts.body][:, None, :]
         n = contacts.normal
@@ -1548,15 +1596,7 @@ def _physics_step_impl(
                 jn, dv_n, jnp.zeros_like(dv_n), rhs_push,
                 jnp.zeros((n_pair, k)), inf_pk, inv_eff_n * act,
             ).reshape(n_pair * k, -1)
-            n_dyn = _n_dyn_contacts(model)
             if n_dyn:
-                member_normal, member_friction, member_push, member_x = (
-                    _member_contact_rows(
-                        model, state.pos, state.quat, lin_vel, ang_vel,
-                        iinv_world, dt,
-                        warm_cache=(state.dyn_vid, state.dyn_lambda),
-                    )
-                )
                 push_rows = jnp.concatenate([push_rows, member_push], 0)
             solve_push = _get_pallas_solver(model, "push", n_pair, n_dyn)
             push6, _ = solve_push(
@@ -1597,7 +1637,15 @@ def _physics_step_impl(
         ).sum(1)
         vel6 = vel6 + oh_c.T @ jnp.concatenate([imp_lin, imp_ang], axis=-1)
     else:
-        push6 = jnp.zeros_like(vel6)
+        if n_dyn:
+            # member-only split-impulse pass (no floor pairs)
+            solve_push = _get_pallas_solver(model, "push", 0, n_dyn)
+            push6, _ = solve_push(
+                member_push, jnp.zeros((model.n_bodies, 6)),
+                jnp.zeros((n_dyn,)),
+            )
+        else:
+            push6 = jnp.zeros_like(vel6)
         lam_n0 = jnp.zeros((0, k))
         lam_t0 = jnp.zeros((0, k, 2))
 
@@ -1762,7 +1810,6 @@ def _physics_step_impl(
                 jt, dv_t, jnp.zeros_like(dv_t), jnp.zeros((n_pair, k, 2)),
                 jnp.zeros((n_pair, k, 2)), jnp.zeros((n_pair, k, 2)), ie_t,
             ).reshape(n_pair * k * 2, -1)
-            n_dyn = _n_dyn_contacts(model)
             if n_dyn:
                 # member warm-start impulses enter the velocities here, next
                 # to the floor-contact warm start above; the solver starts
@@ -1783,8 +1830,17 @@ def _physics_step_impl(
                     [jl0, lam_n0.reshape(-1),
                      lam_t0.reshape(n_pair * k * 2)]
                 )
+        elif n_dyn:
+            # dyn pairs without floor pairs: member rows still solve (and
+            # their warm-start impulses still enter the velocities)
+            vel6 = vel6 + member_x["imp6"].reshape(model.n_bodies, 6)
+            all_rows = jnp.concatenate(
+                [joint_packed, member_normal, member_friction], 0
+            )
+            lam0_all = jnp.concatenate(
+                [jl0, member_x["lam_n0"], member_x["lam_t0"].reshape(n_dyn * 2)]
+            )
         else:
-            n_dyn = 0
             all_rows = joint_packed
             lam0_all = jl0
 
@@ -1792,10 +1848,10 @@ def _physics_step_impl(
         vel_mat, lam_all = solve(all_rows, vel6.reshape(model.n_bodies, 6), lam0_all)
         vel6 = vel_mat.reshape(model.n_bodies, 6)
         lam = lam_all[:n_rows]
+        base_n = n_rows
+        base_f = base_n + n_pair * k + n_dyn
         if n_pair:
-            base_n = n_rows
             lam_n = lam_all[base_n : base_n + n_pair * k].reshape(n_pair, k)
-            base_f = base_n + n_pair * k + n_dyn
             lam_t = lam_all[base_f : base_f + n_pair * k * 2].reshape(n_pair, k, 2)
         else:
             lam_n, lam_t = lam_n0, lam_t0

@@ -31,6 +31,7 @@ Behavior-parity notes:
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -178,6 +179,24 @@ class PhysicsModel:
     # Default on — the fidelity configuration; turn off to trade the
     # edge-axis support passes for throughput.
     member_edge_contacts: bool = True
+    # pallas-sweep ROW VISIT ORDER for non-strict models (strict_bullet
+    # always keeps the canonical Bullet order). Values:
+    #   "canonical"      — sequential build order (joints | normals | frics)
+    #   "scheduled"      — dependency-spaced permutation + <=8-wide disjoint
+    #                      Jacobi groups (engine._schedule_rows)
+    #   "shuffled:<N>"   — seeded random friction-after-parent order; used
+    #                      to train gait robustness to solver micro-order
+    # The solve order is physics-visible for trained policies (r4 finding:
+    # checkpoints overfit to it), so it is a MODEL field — serialized into
+    # run configs / checkpoint metadata, not an ambient env var. finalize()
+    # seeds the default from EVOMOTION_ROW_SCHEDULE for compatibility.
+    row_order: str = "scheduled"
+    # dtype of the J columns streamed by the pallas sweep: "bf16" halves the
+    # kernel's HBM row traffic (the measured bottleneck — PERF.jsonl r4);
+    # "f32" is exact. strict_bullet always uses f32. The per-env fat-row
+    # kernel keeps f32 either way; cross-backend equivalence tests pin
+    # row_dtype="f32".
+    row_dtype: str = "bf16"
     # strict-Bullet configuration for parity runs (engine.py module docstring
     # lists the default-mode divergences this flag removes):
     # - limit-row correction velocity uncapped (Bullet applies no cap)
@@ -738,6 +757,15 @@ class ModelBuilder:
             phase_table=phase_table,
             row_phase_slot=row_phase_slot,
             n_rows=n_rows,
+            # compatibility: the pre-r5 EVOMOTION_ROW_SCHEDULE switch maps
+            # onto the model field ("1" = scheduled, "0" = canonical); tools
+            # and checkpoint metadata override per model via
+            # dataclasses.replace(model, row_order=...)
+            row_order=(
+                "scheduled"
+                if os.environ.get("EVOMOTION_ROW_SCHEDULE", "1") == "1"
+                else "canonical"
+            ),
         )
 
 

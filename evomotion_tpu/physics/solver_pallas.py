@@ -46,16 +46,28 @@ _J0, _DVA, _DVB, _RHS, _LO, _HI, _IEF = 0, 12, 18, 24, 25, 26, 27
 ROW_FP = 29
 _RHSP = 28
 
-# slim env-last layout: j (12) + rhs, lo, hi, rhs_push. Minv*J^T and
-# 1/(J Minv J^T) are recomputed in-kernel from a VMEM-resident world
+# slim env-last layout: TWO arrays per row — J columns (12 floats, bf16 or
+# f32 per model.row_dtype) and f32 scalars (rhs, lo, hi, rhs_push). Minv*J^T
+# and 1/(J Minv J^T) are recomputed in-kernel from a VMEM-resident world
 # inverse-inertia tile + static per-row inverse masses: the sweep streams the
-# row array from HBM once PER SOLVER ITERATION, so its width is the kernel's
-# bandwidth bill (29 -> 16 floats = -45%), and the builder no longer
-# materializes dv/inv_eff at all. Row gating (contact active flags, disabled
-# friction dirs) is folded into J: a zeroed J gives eff = 0 -> ie = 0 ->
-# delta = 0, identical to the old ie*act convention.
-ROW_SLIM = 16
-_SRHS, _SLO, _SHI, _SRHSP = 12, 13, 14, 15
+# row arrays from HBM once PER SOLVER ITERATION, so their width is the
+# kernel's bandwidth bill (29 f32 -> 16 f32 = -45%; bf16 J -> 40 B/row =
+# another -37.5%). Row gating (contact active flags, disabled friction dirs)
+# is folded into J: a zeroed J gives eff = 0 -> ie = 0 -> delta = 0,
+# identical to the old ie*act convention.
+ROW_J = 12
+ROW_S = 4
+_SRHS, _SLO, _SHI, _SRHSP = 0, 1, 2, 3  # indices into the scalar array
+# back-compat: fused single-array width (callers that still build [*, 16, B])
+ROW_SLIM = ROW_J + ROW_S
+
+
+def row_bytes(j_dtype) -> int:
+    """HBM bytes the sweep streams per row-visit (roofline accounting)."""
+    return ROW_J * jnp.dtype(j_dtype).itemsize + ROW_S * 4
+
+
+ROW_BYTES = row_bytes(jnp.float32)
 
 LANE = 128
 SUB = 8
@@ -478,7 +490,8 @@ def _sweep_kernel_envlast(
 
 
 def solver_sweep_envlast_slim(
-    row_data: jnp.ndarray,  # [NR_pad, ROW_SLIM, B] — env axis LAST
+    row_j: jnp.ndarray,  # [NR_pad, ROW_J, B] J columns (bf16 or f32), env LAST
+    row_s: jnp.ndarray,  # [NR_pad, ROW_S, B] f32 scalars (rhs, lo, hi, rhs_push)
     vel6: jnp.ndarray,  # [NB*6, B]
     lam0: jnp.ndarray,  # [NR_pad, B]
     iinv9: jnp.ndarray,  # [NB*9, B] world inverse inertia, row-major 3x3
@@ -496,15 +509,18 @@ def solver_sweep_envlast_slim(
     interpret: bool = False,
     groups=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Slim-row variant of :func:`solver_sweep_envlast` (see ROW_SLIM note).
+    """Slim-row variant of :func:`solver_sweep_envlast` (see ROW_J/ROW_S note).
 
-    Numerics match the fat layout: dv_a/dv_b = Minv J^T and
-    ie = 1/(J Minv J^T) are evaluated in-kernel with the same formula and
-    guard the builder used (order of adds differs -> float error ~1e-7 rel).
+    Numerics match the fat layout up to J quantization: dv_a/dv_b = Minv J^T
+    and ie = 1/(J Minv J^T) are evaluated in-kernel with the same formula and
+    guard the builder used (order of adds differs -> float error ~1e-7 rel);
+    with bf16 row_j the J columns carry ~0.4% relative rounding (the
+    throughput configuration — strict/parity models pass f32).
     Returns (vel6', lam', push_vel6)."""
-    nr_pad, _, b = row_data.shape
+    nr_pad, _, b = row_j.shape
     nb6 = vel6.shape[0]
-    assert row_data.shape[1] == ROW_SLIM, row_data.shape
+    assert row_j.shape[1] == ROW_J, row_j.shape
+    assert row_s.shape == (nr_pad, ROW_S, b), (row_s.shape, row_j.shape)
     assert b % TILE == 0, f"batch {b} must be a multiple of {TILE}"
     assert nr_pad % (chunk * n_buf) == 0, (nr_pad, chunk, n_buf)
     g = b // TILE
@@ -526,15 +542,18 @@ def solver_sweep_envlast_slim(
         for i in range(nr)
     )
 
-    rd = row_data.reshape(nr_pad, ROW_SLIM, g, SUB, LANE)
+    j_dtype = row_j.dtype
+    rj = row_j.reshape(nr_pad, ROW_J, g, SUB, LANE)
+    rs = row_s.reshape(nr_pad, ROW_S, g, SUB, LANE)
     v = jnp.transpose(vel6.reshape(nb6, g, SUB, LANE), (1, 0, 2, 3))
     l0 = jnp.transpose(lam0.reshape(nr_pad, g, SUB, LANE), (1, 0, 2, 3))
     ii = jnp.transpose(iinv9.reshape(nb6 // 6 * 9, g, SUB, LANE), (1, 0, 2, 3))
 
-    def kernel(row_r, vel_r, lam_r, ii_r, velo_r, lamo_r, pvo_r, buf, plam, sem):
+    def kernel(rowj_r, rows_r, vel_r, lam_r, ii_r, velo_r, lamo_r, pvo_r,
+               buf_j, buf_s, plam, sem_j, sem_s):
         _sweep_kernel_envlast_slim(
-            row_r, vel_r.at[0], lam_r.at[0], ii_r.at[0], velo_r.at[0],
-            lamo_r.at[0], pvo_r.at[0], buf, plam, sem,
+            rowj_r, rows_r, vel_r.at[0], lam_r.at[0], ii_r.at[0], velo_r.at[0],
+            lamo_r.at[0], pvo_r.at[0], buf_j, buf_s, plam, sem_j, sem_s,
             meta=meta, n_iters=n_iters, chunk=chunk, n_chunks=n_chunks,
             n_buf=n_buf, groups=groups,
         )
@@ -554,7 +573,8 @@ def solver_sweep_envlast_slim(
         ],
         grid=(g,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # rows stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # J rows stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # scalar rows stay in HBM
             pl.BlockSpec(
                 (1, nb6, SUB, LANE), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -583,13 +603,15 @@ def solver_sweep_envlast_slim(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_buf, chunk, ROW_SLIM, SUB, LANE), jnp.float32),
+            pltpu.VMEM((n_buf, chunk, ROW_J, SUB, LANE), j_dtype),
+            pltpu.VMEM((n_buf, chunk, ROW_S, SUB, LANE), jnp.float32),
             pltpu.VMEM((n_push, SUB, LANE), jnp.float32),  # push impulses
+            pltpu.SemaphoreType.DMA((n_buf,)),
             pltpu.SemaphoreType.DMA((n_buf,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(rd, v, l0, ii)
+    )(rj, rs, v, l0, ii)
 
     return (
         jnp.transpose(vel_out, (1, 0, 2, 3)).reshape(nb6, b),
@@ -599,17 +621,19 @@ def solver_sweep_envlast_slim(
 
 
 def _sweep_kernel_envlast_slim(
-    row_hbm,  # [NR_pad, ROW_SLIM, G, SUB, LANE] in ANY/HBM
+    rowj_hbm,  # [NR_pad, ROW_J, G, SUB, LANE] in ANY/HBM (bf16 or f32)
+    rows_hbm,  # [NR_pad, ROW_S, G, SUB, LANE] in ANY/HBM (f32)
     vel_in, lam_in, ii_in, vel_out, lam_out, pv, # VMEM tile views
-    buf, plam, sem,
+    buf_j, buf_s, plam, sem_j, sem_s,
     *, meta, n_iters, chunk, n_chunks, n_buf, groups=None,
 ):
-    """Slim-row sweep: streams 16 floats/row, recomputes dv and 1/eff from
-    the VMEM inverse-inertia tile (ii_in, [NB*9, SUB, LANE]) and static
-    per-row inverse masses. Otherwise identical in structure to
-    :func:`_sweep_kernel_envlast` (fused velocity + split-impulse passes).
-    vel/lam inputs are aliased onto the outputs and the push-velocity output
-    (pv) doubles as its own accumulator — VMEM budget, see the caller."""
+    """Slim-row sweep: streams 12 J values (bf16 or f32) + 4 f32 scalars per
+    row, recomputes dv and 1/eff from the VMEM inverse-inertia tile (ii_in,
+    [NB*9, SUB, LANE]) and static per-row inverse masses. Otherwise identical
+    in structure to :func:`_sweep_kernel_envlast` (fused velocity +
+    split-impulse passes). vel/lam inputs are aliased onto the outputs and
+    the push-velocity output (pv) doubles as its own accumulator — VMEM
+    budget, see the caller."""
     tile = pl.program_id(0)
 
     vel_out[...] = vel_in[...]
@@ -618,12 +642,29 @@ def _sweep_kernel_envlast_slim(
     plam[...] = jnp.zeros_like(plam[...])
 
     def dma(slot, c):
-        return pltpu.make_async_copy(
-            row_hbm.at[pl.ds(c * chunk, chunk), :, tile], buf.at[slot], sem.at[slot]
+        return (
+            pltpu.make_async_copy(
+                rowj_hbm.at[pl.ds(c * chunk, chunk), :, tile], buf_j.at[slot],
+                sem_j.at[slot],
+            ),
+            pltpu.make_async_copy(
+                rows_hbm.at[pl.ds(c * chunk, chunk), :, tile], buf_s.at[slot],
+                sem_s.at[slot],
+            ),
         )
 
+    def dma_start(slot, c):
+        a, b_ = dma(slot, c)
+        a.start()
+        b_.start()
+
+    def dma_wait(slot, c):
+        a, b_ = dma(slot, c)
+        a.wait()
+        b_.wait()
+
     for w in range(n_buf - 1):
-        dma(w, w).start()
+        dma_start(w, w)
 
     def matvec(ii, jang):
         # [9, SUB, LANE] row-major 3x3 times [3, SUB, LANE]
@@ -648,8 +689,8 @@ def _sweep_kernel_envlast_slim(
     def iter_body(_, carry):
         for c in range(n_chunks):
             nxt = (c + n_buf - 1) % n_chunks
-            dma(nxt % n_buf, nxt).start()
-            dma(c % n_buf, c).wait()
+            dma_start(nxt % n_buf, nxt)
+            dma_wait(c % n_buf, c)
             slot = c % n_buf
             for g_off, g_size in chunk_groups[c]:
                 # --- LOAD/COMPUTE phase: rows in one group touch pairwise
@@ -664,7 +705,8 @@ def _sweep_kernel_envlast_slim(
                         continue
                     (ia6, ib6, kind_r, mu_r, parent_r, skip_b_r, pslot,
                      im_a, im_b) = meta[rid]
-                    rd = buf[slot, r]  # [ROW_SLIM, SUB, LANE]
+                    rd = buf_j[slot, r].astype(jnp.float32)  # [ROW_J, SUB, LANE]
+                    rs = buf_s[slot, r]  # [ROW_S, SUB, LANE]
                     ia9 = ia6 // 6 * 9
                     dva = jnp.concatenate(
                         [im_a * rd[0:3], matvec(ii_in[ia9:ia9 + 9], rd[3:6])],
@@ -686,9 +728,9 @@ def _sweep_kernel_envlast_slim(
                     ie = jnp.where(eff > 1e-12, 1.0 / jnp.maximum(eff, 1e-12), 0.0)
 
                     lam_r = lam_out[rid]
-                    cand = lam_r + (rd[_SRHS] - jv) * ie
+                    cand = lam_r + (rs[_SRHS] - jv) * ie
                     if kind_r == KIND_JOINT:
-                        new_l = jnp.clip(cand, rd[_SLO], rd[_SHI])
+                        new_l = jnp.clip(cand, rs[_SLO], rs[_SHI])
                     elif kind_r == KIND_NORMAL:
                         new_l = jnp.maximum(cand, 0.0)
                     else:
@@ -705,7 +747,7 @@ def _sweep_kernel_envlast_slim(
                             pvb = pv[ib6:ib6 + 6]
                             jvp = jvp + jnp.sum(rd[6:12] * pvb, axis=0)
                         pl_r = plam[pslot]
-                        new_pl = jnp.maximum(pl_r + (rd[_SRHSP] - jvp) * ie, 0.0)
+                        new_pl = jnp.maximum(pl_r + (rs[_SRHSP] - jvp) * ie, 0.0)
                         pp = (pva, pvb, new_pl, new_pl - pl_r)
                     entries.append(
                         (rid, ia6, ib6, skip_b_r, pslot, dva, dvb, va, vb,
@@ -729,4 +771,4 @@ def _sweep_kernel_envlast_slim(
     jax.lax.fori_loop(0, n_iters, iter_body, 0)
 
     for w in range(n_buf - 1):
-        dma(w, w).wait()
+        dma_wait(w, w)

@@ -47,7 +47,7 @@ def _cartpole_like_model():
         lin_lo=-10.0, lin_hi=10.0, max_motor_force=64.0, motor_index=0,
     )
     b.add_hinge(cart, pole, (0, 0.25, 0), (0, -0.525, 0), (0, 0, 1), (0, 0, 1))
-    return dataclasses.replace(b.finalize(), solver="pallas")
+    return dataclasses.replace(b.finalize(), solver="pallas", row_dtype="f32")
 
 
 def _contact_model():
@@ -60,7 +60,9 @@ def _contact_model():
         "boxb", _cube(), (0.5, 0.2, 0.3), 2.0, (0.2, 0.55, 0.1),
         (0.0, 0.19866933, 0.0, 0.98006658), friction=0.4,
     )
-    return dataclasses.replace(b.finalize(), solver="pallas", member_contacts=True)
+    return dataclasses.replace(
+        b.finalize(), solver="pallas", member_contacts=True, row_dtype="f32"
+    )
 
 
 def _perturbed_states(model, n, scale=0.02):
@@ -159,3 +161,190 @@ def test_padding_independence():
     np.testing.assert_allclose(
         np.asarray(out5.pos[:2]), np.asarray(out2.pos), atol=1e-6
     )
+
+
+def _dyn_only_model():
+    """Two overlapping DYNAMIC boxes, no static body at all: zero floor
+    manifold pairs but one dyn-dyn pair (ADVICE r4: member warm-start
+    impulses must still be injected, identically on both backends)."""
+    b = ModelBuilder()
+    ident = (0.0, 0.0, 0.0, 1.0)
+    b.add_body("boxa", _cube(), (0.4, 0.3, 0.4), 1.0, (0, 0.0, 0), ident, friction=0.6)
+    b.add_body(
+        "boxb", _cube(), (0.3, 0.3, 0.3), 2.0, (0.1, 0.25, 0.05),
+        (0.0, 0.19866933, 0.0, 0.98006658), friction=0.4,
+    )
+    return dataclasses.replace(
+        b.finalize(), solver="pallas", member_contacts=True, row_dtype="f32"
+    )
+
+
+def test_dyn_pairs_without_floor_pairs_match_and_warm_start():
+    model = _dyn_only_model()
+    assert len(model.dyn_pair_body) == 1
+    from evomotion_tpu.physics.engine import n_manifold_pairs
+
+    assert n_manifold_pairs(model) == 0
+    _compare(model, n_steps=3, batch=3)
+    # member warm start must reach the velocities: a populated dyn_lambda
+    # cache changes the step vs a cleared cache (both backends). Give boxb
+    # an approach velocity — in shared free fall the velocity-pass impulse
+    # is legitimately zero
+    s0 = init_state(model)
+    s0 = s0._replace(lin_vel=s0.lin_vel.at[1, 1].set(-2.0))
+    tgt = jnp.zeros((model.n_slider,))
+    en = jnp.ones((model.n_slider,), bool)
+    step1 = jax.jit(lambda s: _physics_step_impl(model, s, tgt, en, DT))
+    s1, _ = step1(s0)
+    assert float(jnp.abs(s1.dyn_lambda).sum()) > 0.0  # boxes do collide
+    # seed the cache with feature ids the next step will re-detect so the
+    # warm match is total and the injected impulses are macroscopic
+    probe, _ = step1(s1)
+    seeded = s1._replace(
+        dyn_lambda=jnp.full_like(s1.dyn_lambda, 0.5), dyn_vid=probe.dyn_vid
+    )
+    s2, _ = step1(seeded)
+    s2_cleared, _ = step1(
+        seeded._replace(dyn_lambda=jnp.zeros_like(s1.dyn_lambda))
+    )
+    # warm-start CONSISTENCY: seeding lam0 only accelerates convergence, so
+    # the converged answer must match the cold start. If the seed entered
+    # lam0 but its impulse were NOT injected into the velocities (the
+    # ADVICE r4 bug on this n_pair==0 configuration), the answer would be
+    # off by the un-applied impulse (~dv * 0.425 here — macroscopic).
+    np.testing.assert_allclose(
+        np.asarray(s2.lin_vel), np.asarray(s2_cleared.lin_vel), atol=1e-4
+    )
+    # batched backend: same consistency, and it matches per-env
+    stepv = jax.jit(jax.vmap(lambda s: physics_step(model, s, tgt, en, DT)))
+    sb = jax.tree.map(lambda x: x[None], seeded)
+    v2, _ = stepv(sb)
+    v2c, _ = stepv(
+        sb._replace(dyn_lambda=jnp.zeros_like(sb.dyn_lambda))
+    )
+    np.testing.assert_allclose(
+        np.asarray(v2.lin_vel), np.asarray(v2c.lin_vel), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(v2.lin_vel[0]), np.asarray(s2.lin_vel), atol=2e-4
+    )
+
+
+def test_row_order_variants_and_shuffled_parent_constraint():
+    """row_order is a model field: canonical / scheduled / shuffled:<seed>
+    all run, stay finite, and agree to solver-iteration tolerance; the
+    shuffled order always visits a friction row after its parent normal."""
+    from evomotion_tpu.physics.engine import _shuffled_order, _solver_meta
+
+    base = _contact_model()
+    outs = {}
+    for order in ("canonical", "scheduled", "shuffled:7"):
+        model = dataclasses.replace(base, row_order=order)
+        states = _perturbed_states(model, 2)
+        tgt = jnp.zeros((2, model.n_slider))
+        en = jnp.ones((2, model.n_slider), bool)
+        step_v = jax.jit(jax.vmap(lambda s, t, e: physics_step(model, s, t, e, DT)))
+        s = states
+        for _ in range(2):
+            s, _d = step_v(s, tgt, en)
+        outs[order] = np.asarray(s.lin_vel)
+        assert np.isfinite(outs[order]).all(), order
+    # different visit orders converge to nearby (not identical) solutions
+    np.testing.assert_allclose(outs["canonical"], outs["scheduled"], atol=5e-2)
+    np.testing.assert_allclose(outs["canonical"], outs["shuffled:7"], atol=5e-2)
+
+    # parent-before-child invariant of the shuffled generator, on the real
+    # row set of this model
+    from evomotion_tpu.physics.engine import _n_dyn_contacts, n_manifold_pairs
+
+    m = dataclasses.replace(base, row_order="canonical")
+    idx6_a, idx6_b, parent, mu, kind_arr, skip_b, perm, groups = _solver_meta(
+        m, "full", n_manifold_pairs(m), _n_dyn_contacts(m)
+    )
+    for seed in (0, 1, 2):
+        p = _shuffled_order(len(idx6_a), parent, seed)
+        pos = np.empty_like(p)
+        pos[p] = np.arange(len(p))
+        child = parent >= 0
+        assert (pos[np.nonzero(child)[0]] > pos[parent[child]]).all()
+    # different seeds give different orders
+    assert not np.array_equal(
+        _shuffled_order(len(idx6_a), parent, 0),
+        _shuffled_order(len(idx6_a), parent, 1),
+    )
+
+
+def test_bf16_rows_close_to_f32():
+    """row_dtype="bf16" (the throughput default) quantizes only the J
+    columns; the step must stay within a bounded deviation of the exact f32
+    solve and produce finite state.
+
+    Caveat measured here: on CPU the pallas kernel runs in interpret mode,
+    so the f32->bf16->f32 convert pair sits adjacent inside one XLA module
+    and the excess-precision simplifier elides it — the CPU path computes
+    in f32 regardless. The structural check below pins that the bf16
+    converts ARE emitted (on real TPU the kernel boundary is opaque, so the
+    rounding engages); the TPU-side deviation bound lives in
+    tools/check_batched_tpu.py and the kernel-level rounding sensitivity in
+    test_solver_pallas-style direct kernel calls with materialized bf16
+    arrays."""
+    base = _contact_model()  # row_dtype="f32"
+    m16 = dataclasses.replace(base, row_dtype="bf16")
+    states = _perturbed_states(base, 2)
+    tgt = jnp.zeros((2, base.n_slider))
+    en = jnp.ones((2, base.n_slider), bool)
+    outs = {}
+    for m in (base, m16):
+        step_v = jax.jit(jax.vmap(lambda s, t, e: physics_step(m, s, t, e, DT)))
+        s = states
+        for _ in range(3):
+            s, _d = step_v(s, tgt, en)
+        outs[m.row_dtype] = s
+    for name in ("pos", "lin_vel", "ang_vel"):
+        a = np.asarray(getattr(outs["bf16"], name))
+        b = np.asarray(getattr(outs["f32"], name))
+        assert np.isfinite(a).all(), name
+        np.testing.assert_allclose(a, b, atol=3e-2, err_msg=name)
+    # structural: the bf16 row stream is emitted for m16 and absent for f32
+    jx16 = str(jax.make_jaxpr(
+        jax.vmap(lambda s, t, e: physics_step(m16, s, t, e, DT))
+    )(states, tgt, en))
+    jx32 = str(jax.make_jaxpr(
+        jax.vmap(lambda s, t, e: physics_step(base, s, t, e, DT))
+    )(states, tgt, en))
+    assert "bf16" in jx16 and "bf16" not in jx32
+
+    # kernel-level: materialized bf16 J rows genuinely change the solve
+    from evomotion_tpu.physics import solver_pallas as sp
+
+    nr, nb = 32, 2
+    rng = np.random.RandomState(0)
+    rows_j = jnp.asarray((rng.randn(nr, sp.ROW_J, sp.TILE) * 0.3).astype(np.float32))
+    rows_s = jnp.asarray(
+        np.stack(
+            [rng.randn(nr, sp.TILE), -np.ones((nr, sp.TILE)) * 10,
+             np.ones((nr, sp.TILE)) * 10, np.zeros((nr, sp.TILE))], 1
+        ).astype(np.float32)
+    )
+    vel = jnp.asarray(rng.randn(nb * 6, sp.TILE).astype(np.float32))
+    lam = jnp.zeros((nr, sp.TILE))
+    iinv9 = jnp.broadcast_to(
+        jnp.eye(3).reshape(9)[None, :, None], (nb, 9, sp.TILE)
+    ).reshape(nb * 9, sp.TILE).astype(jnp.float32)
+    ia = np.zeros(nr, np.int32)
+    ib = np.full(nr, 6, np.int32)
+    parent = np.full(nr, -1, np.int32)
+    mu = np.zeros(nr, np.float32)
+    kw = dict(
+        kind=np.zeros(nr, np.int32), skip_b=np.zeros(nr, bool), interpret=True
+    )
+    inv_mass = np.ones(nb)
+    o32 = sp.solver_sweep_envlast_slim(
+        rows_j, rows_s, vel, lam, iinv9, inv_mass, ia, ib, parent, mu, 3, nr, **kw
+    )
+    o16 = sp.solver_sweep_envlast_slim(
+        rows_j.astype(jnp.bfloat16), rows_s, vel, lam, iinv9, inv_mass,
+        ia, ib, parent, mu, 3, nr, **kw
+    )
+    d = float(jnp.max(jnp.abs(o32[0] - o16[0])))
+    assert 0.0 < d < 0.3  # rounding engages, bounded

@@ -28,7 +28,11 @@ DT = 1.0 / 60.0
 def main():
     n_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     env = RobotWalk()
-    m = dataclasses.replace(env.model, solver="pallas")
+    # exact-equivalence section pins f32 J rows: the batched slim kernel's
+    # bf16 default (model.row_dtype) quantizes its J stream while the
+    # per-env fat kernel keeps f32 — its deviation is measured separately
+    # in section 1b below
+    m = dataclasses.replace(env.model, solver="pallas", row_dtype="f32")
     B = 4
 
     s0 = init_state(m)
@@ -74,6 +78,23 @@ def main():
         print(f"  {name:24s} maxerr {err:.3e}")
         assert err < 5e-3, name
     print(f"1) batched == per-env on spider (worst state err {worst:.2e})")
+
+    # 1b. bf16 J rows (the shipped throughput configuration) vs exact f32:
+    # quantization only engages on real TPU (opaque kernel boundary), so
+    # this deviation bound is the TPU-side evidence for the bf16 default
+    m_bf = dataclasses.replace(env.model, solver="pallas", row_dtype="bf16")
+    step_bf = jax.jit(jax.vmap(lambda s, t, e: physics_step(m_bf, s, t, e, DT)))
+    sv_bf, sv_f32 = states, states
+    worst_bf = 0.0
+    for _ in range(10):
+        sv_bf, _ = step_bf(sv_bf, tgt, en)
+        sv_f32, _ = step_v(sv_f32, tgt, en)
+    for name in ("pos", "lin_vel", "ang_vel"):
+        err = float(jnp.abs(getattr(sv_bf, name) - getattr(sv_f32, name)).max())
+        worst_bf = max(worst_bf, err)
+        print(f"  bf16 {name:16s} maxerr(10 steps) {err:.3e}")
+    assert np.isfinite(worst_bf) and worst_bf < 0.2, worst_bf
+    print(f"1b) bf16-vs-f32 J rows: worst 10-step deviation {worst_bf:.2e}")
 
     # 2. pallas vs xla backends: settle trajectory from the canonical init.
     # The two backends run different (both valid) Gauss-Seidel orderings —

@@ -60,7 +60,7 @@ t = timeit(lambda p, q: sum(x.sum() for x in B.detect_contacts(m, p, q)[:3]), po
 print(f"floor detect:        {t*1e3:7.3f} ms")
 
 t = timeit(
-    lambda p, q, ii: B.build_joint_rows(m, p, q, ii, mt, me, 1 / 60)[0].sum(),
+    lambda p, q, ii: B.build_joint_rows(m, p, q, ii, mt, me, 1 / 60)[0].astype(jnp.float32).sum(),
     pos, quat, iinv,
 )
 print(f"joint rows:          {t*1e3:7.3f} ms")
@@ -72,7 +72,7 @@ print(f"dyn narrowphase:     {t*1e3:7.3f} ms")
 
 t = timeit(
     lambda p, q, ii: sum(
-        x.sum() for x in B._member_contact_rows(m, p, q, lin, ang, ii, 1 / 60)
+        x.astype(jnp.float32).sum() for pair in B._member_contact_rows(m, p, q, lin, ang, ii, 1 / 60)[:2] for x in pair
     ),
     pos, quat, iinv,
 )

@@ -64,9 +64,11 @@ def build_only(pos, quat, lin, ang, mtl, mel):
     rot = B._q2m(quat)
     iinv = jnp.einsum("bijn,bj,bkjn->bikn", rot, jnp.asarray(m.inv_inertia_local), rot)
     pt, n_, gap, act_, vid = B.detect_contacts(m, pos, quat)
-    rows, slp = B.build_joint_rows(m, pos, quat, iinv, mtl, mel, 1 / 60)
+    jj, ss, slp = B.build_joint_rows(m, pos, quat, iinv, mtl, mel, 1 / 60)
     mn, mf, _mx = B._member_contact_rows(m, pos, quat, lin, ang, iinv, 1 / 60)
-    return rows.sum() + mn.sum() + mf.sum() + gap.sum() + slp.sum() + pt.sum() + n_.sum()
+    return (jj.astype(jnp.float32).sum() + ss.sum()
+            + sum(x.astype(jnp.float32).sum() for x in mn + mf)
+            + gap.sum() + slp.sum() + pt.sum() + n_.sum())
 
 
 t_build = timeit(build_only, pos, quat, lin, ang, mtl, mel)
@@ -78,7 +80,10 @@ n_dyn = E._n_dyn_contacts(m)
 k = 4
 n_full = m.n_rows + n_pair * k + n_dyn + n_pair * k * 2 + n_dyn * 2
 nr_pad = B._round_rows(n_full, 8)
-rows = jax.random.normal(jax.random.PRNGKey(1), (nr_pad, sp.ROW_SLIM, N)) * 0.01
+rows_j = (jax.random.normal(jax.random.PRNGKey(1), (nr_pad, sp.ROW_J, N)) * 0.01)
+rows_s = jax.random.normal(jax.random.PRNGKey(2), (nr_pad, sp.ROW_S, N)) * 0.01
+if getattr(m, "row_dtype", "f32") == "bf16":
+    rows_j = rows_j.astype(jnp.bfloat16)
 vel = jnp.zeros((m.n_bodies * 6, N))
 lam = jnp.zeros((nr_pad, N))
 iinv9 = jnp.broadcast_to(
@@ -88,16 +93,16 @@ ia, ib, parent, mu, kind, skip_b, _perm, _groups = E._solver_meta(m, "full", n_p
 
 
 @jax.jit
-def kern(rows, vel, lam, iinv9):
+def kern(rows_j, rows_s, vel, lam, iinv9):
     v, l, p = sp.solver_sweep_envlast_slim(
-        rows, vel, lam, iinv9, m.inv_mass, ia, ib, parent, mu,
+        rows_j, rows_s, vel, lam, iinv9, m.inv_mass, ia, ib, parent, mu,
         m.n_iterations, n_full,
         kind=kind, skip_b=skip_b, interpret=jax.default_backend() != "tpu",
     )
     return v.sum() + l.sum() + p.sum()
 
 
-t_k = timeit(kern, rows, vel, lam, iinv9)
+t_k = timeit(kern, rows_j, rows_s, vel, lam, iinv9)
 print(f"fused sweep kernel:{t_k*1e3:8.3f} ms")
 print(f"\nbuild+kernel:      {(t_build+t_k)*1e3:8.3f} ms vs physics {t_phys*1e3:.3f}")
 print(f"obs/env overhead:  {(t_env-t_phys)*1e3:8.3f} ms")

@@ -87,7 +87,7 @@ phase(
 )
 phase(
     "  joint rows:",
-    lambda p, q: B.build_joint_rows(m, p, q, iinv_of(p, q), mtl, mel, 1 / 60)[0].sum(),
+    lambda p, q: B.build_joint_rows(m, p, q, iinv_of(p, q), mtl, mel, 1 / 60)[0].astype(jnp.float32).sum(),
     pos, quat,
 )
 if members and E._n_dyn_contacts(m):
@@ -99,8 +99,9 @@ if members and E._n_dyn_contacts(m):
     phase(
         "  member rows:",
         lambda p, q: sum(
-            x.sum()
-            for x in B._member_contact_rows(m, p, q, lin, ang, iinv_of(p, q), 1 / 60)
+            x.astype(jnp.float32).sum()
+            for pair in B._member_contact_rows(m, p, q, lin, ang, iinv_of(p, q), 1 / 60)[:2]
+            for x in pair
         ),
         pos, quat,
     )
