@@ -757,13 +757,17 @@ class ModelBuilder:
             phase_table=phase_table,
             row_phase_slot=row_phase_slot,
             n_rows=n_rows,
-            # compatibility: the pre-r5 EVOMOTION_ROW_SCHEDULE switch maps
-            # onto the model field ("1" = scheduled, "0" = canonical); tools
-            # and checkpoint metadata override per model via
+            # Default CANONICAL since r5: the scheduled permutation measured
+            # ~0 kernel gain while its row/lam gathers cost ~1.8 ms/step at
+            # B=2048 (PERF.jsonl), and it was only pinned ON in r4 because
+            # trained gaits overfit one solve order — r5 checkpoints train
+            # under cycled orders and win under both (tests/test_walk_ckpt).
+            # The pre-r5 EVOMOTION_ROW_SCHEDULE=1 switch still maps onto the
+            # field; tools and checkpoint metadata override per model via
             # dataclasses.replace(model, row_order=...)
             row_order=(
                 "scheduled"
-                if os.environ.get("EVOMOTION_ROW_SCHEDULE", "1") == "1"
+                if os.environ.get("EVOMOTION_ROW_SCHEDULE", "0") == "1"
                 else "canonical"
             ),
         )

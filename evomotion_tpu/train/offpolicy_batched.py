@@ -167,7 +167,15 @@ class BatchedOffPolicy:
 
     # -- one jitted iteration ----------------------------------------------
 
-    def train_step_fn(self):
+    def train_step_fn(self, learn: bool = True):
+        """One jitted iteration. learn=False builds the ring-REFILL variant:
+        envs advance and transitions land in the ring, but no gradient
+        updates run — used to repopulate the buffer before resuming updates
+        from a params-only checkpoint. Resuming updates onto a nearly-empty
+        ring collapses the critic within ~200 iterations (observed r4:
+        runs/walk_r4_crossq_s1234_old/resume_collapse.log — the first
+        post-resume batches are tiny, fresh, single-policy data); the
+        reference never resumes training at all (SURVEY §5)."""
         cfg = self.config
         env_step = jax.vmap(self.env.step)
         cap = self.capacity
@@ -252,9 +260,13 @@ class BatchedOffPolicy:
                 z = jnp.zeros((n_events * cfg.epoch,))
                 return carry, (z, z, z, z)
 
-            carry, (a_l, c1_l, c2_l, e_l) = jax.lax.cond(
-                has_enough, do_updates, no_updates, state.carry
-            )
+            if learn:
+                carry, (a_l, c1_l, c2_l, e_l) = jax.lax.cond(
+                    has_enough, do_updates, no_updates, state.carry
+                )
+            else:
+                carry, (a_l, c1_l, c2_l, e_l) = no_updates(state.carry)
+                has_enough = jnp.bool_(False)
 
             state = OffPolicyTrainState(
                 carry=carry, ring=ring, env_state=env_state, obs=obs,
@@ -287,6 +299,30 @@ class BatchedOffPolicy:
     def load_carry(self, folder: str):
         self.agent.load(folder)
         return self.agent._carry()
+
+    # -- full-state checkpointing (exact resume incl. the replay ring) -----
+
+    def save_full(self, folder: str, state: OffPolicyTrainState) -> None:
+        """Checkpoint EVERYTHING — params/optimizers (carry), the replay
+        ring with its cursor, env batch, rng, iteration — so training
+        resumes exactly. The ring dominates the size (GBs at the default
+        capacity); use save() + a refill (train_step_fn(learn=False)) when
+        only the params need to travel. Fixes the r4 resume collapse
+        (VERDICT r4 next #6)."""
+        from .checkpoint import save_component
+
+        for name in OffPolicyTrainState._fields:
+            save_component(folder, f"train_{name}", getattr(state, name))
+
+    def load_full(self, folder: str, like: OffPolicyTrainState) -> OffPolicyTrainState:
+        from .checkpoint import load_component
+
+        return OffPolicyTrainState(
+            **{
+                name: load_component(folder, f"train_{name}", getattr(like, name))
+                for name in OffPolicyTrainState._fields
+            }
+        )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -70,6 +70,13 @@ class PpoConfig:
     # the greedy-mu policy stands still. Off (1.0 / 0) by default.
     sigma_scale_end: float = 1.0
     sigma_scale_steps: int = 0
+    # survival shaping (training-time only; metrics report the raw env
+    # reward): a constant added to every valid step's reward inside GAE.
+    # Because episodes stop paying it when they END, it directly values
+    # staying alive — the r4 walker's failure mode was fast-but-falling
+    # gaits (median ep_len 129 of 1800; VERDICT r4 weak #3), which the raw
+    # v_z reward under gamma=0.99 (~100-step horizon) cannot penalize.
+    survival_bonus: float = 0.0
 
 
 class PpoTrainState(NamedTuple):
@@ -296,8 +303,9 @@ class BatchedPpo:
             else:
                 last_obs = state.obs
             bootstrap = critic_apply(state.critic_params, last_obs)  # [N, 1]
+            shaped = rewards + cfg.survival_bonus  # masked inside the GAE
             advantages, returns, maskf, n = gae_and_normalize(
-                cfg, values, rewards, dones, valids, bootstrap
+                cfg, values, shaped, dones, valids, bootstrap
             )
             n_act = n * actions.shape[-1]
             if cfg.entropy_steps > 0:

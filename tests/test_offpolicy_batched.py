@@ -101,3 +101,50 @@ def test_offpolicy_learns_cartpole(algo):
         eps.append(float(metrics.episodes_done))
     early, late = np.mean(eps[5:30]), np.mean(eps[-20:])
     assert late < 0.5 * early, (early, late)
+
+
+def test_full_state_resume_is_exact(tmp_path):
+    """save_full/load_full checkpoint the replay ring + env batch + rng:
+    resumed training continues bit-exactly (the r4 params-only resume
+    collapsed the critic because the ring restarted empty)."""
+    trainer = _trainer("cross_q")
+    step = jax.jit(trainer.train_step_fn())
+    state = trainer.init()
+    for _ in range(3):
+        state, _ = step(state)
+    trainer.save_full(str(tmp_path), state)
+    resumed = trainer.load_full(str(tmp_path), trainer.init())
+    a, _ = step(state)
+    b, _ = step(resumed)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_params_resume_with_refill_keeps_learning(tmp_path):
+    """Params-only resume must REFILL the ring (train_step_fn(learn=False))
+    before updates: the refill variant writes transitions without touching
+    params, and subsequent learning steps see a populated buffer instead of
+    the near-empty one that collapsed the r4 CrossQ resume."""
+    trainer = _trainer("cross_q")
+    step = jax.jit(trainer.train_step_fn())
+    refill = jax.jit(trainer.train_step_fn(learn=False))
+    state = trainer.init()
+    for _ in range(3):
+        state, _ = step(state)
+    trainer.save(str(tmp_path), state)
+
+    fresh = trainer.init()
+    fresh = fresh._replace(carry=trainer.load_carry(str(tmp_path)))
+    p0 = [np.asarray(x).copy() for x in jax.tree.leaves(fresh.carry)]
+    for _ in range(2):
+        fresh, m = refill(fresh)
+        assert float(m.updates_done) == 0.0
+    # params untouched by the refill
+    for a, b in zip(p0, jax.tree.leaves(fresh.carry)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    # ring populated before the first post-resume update
+    assert float(fresh.ring.filled) >= trainer.config.batch_size
+    fresh, m = step(fresh)
+    assert float(m.updates_done) > 0
+    assert np.isfinite(float(m.critic_1_loss))
+    assert np.isfinite(float(m.actor_loss))

@@ -29,10 +29,30 @@ p.add_argument("--episodes", type=int, default=64)
 p.add_argument("--seed", type=int, default=999)
 p.add_argument("--out", default=None, help="record best episode: OUT.npz + OUT.html")
 p.add_argument("--hidden", type=int, default=256)
+p.add_argument("--row-order", default=None,
+               help="solver row order override (default: checkpoint meta.json "
+                    "eval_order, else the model default)")
 args = p.parse_args()
 
 WIN = 1800
 env = RobotWalkFactory({}).make(args.seed, mt_parity=False)
+
+# solve order is physics-visible for trained gaits (runs/WALK_R4.md): adopt
+# the order the checkpoint was evaluated/selected under (meta.json, written
+# by tools/train_walk.py) unless overridden
+import dataclasses as _dc
+import json as _json
+import os as _os
+
+_meta_path = _os.path.join(args.ckpt, "meta.json")
+_order = args.row_order
+if _order is None and _os.path.exists(_meta_path):
+    with open(_meta_path) as _mf:
+        _order = _json.load(_mf).get("eval_order")
+if _order is not None and _order != env.model.row_order:
+    print(f"row_order: {env.model.row_order} -> {_order} "
+          f"({'cli override' if args.row_order else 'checkpoint meta.json'})")
+    env.model = _dc.replace(env.model, row_order=_order)
 
 if args.tier == "ppo":
     # load only the policy-relevant components (the checkpoint's env batch

@@ -57,16 +57,43 @@ p.add_argument("--eval-every", type=int, default=50)
 p.add_argument("--save-every", type=int, default=250)
 p.add_argument("--eval-envs", type=int, default=64)
 p.add_argument("--resume", default=None, help="save dir to reload params from")
+p.add_argument("--resume-full", default=None,
+               help="save_full dir (exact resume incl. replay ring)")
+p.add_argument("--refill-iters", type=int, default=16,
+               help="ring-refill iterations (no updates) after a params-only "
+                    "--resume, so the critic never trains on a near-empty "
+                    "buffer (the r4 resume collapse)")
+p.add_argument("--order-cycle", default="",
+               help="comma list of solver row orders cycled per iteration")
+p.add_argument("--eval-order", default="canonical")
+p.add_argument("--eval-order-alt", default="scheduled")
 args = p.parse_args()
 
 WIN_STEPS = 1800
 os.makedirs(args.out, exist_ok=True)
-with open(os.path.join(args.out, "config.json"), "w") as f:
-    json.dump({**vars(args), "win_steps": WIN_STEPS,
-               "row_schedule": os.environ.get("EVOMOTION_ROW_SCHEDULE", "1"),
-               "env": "robot_walk", "tier": "offpolicy_batched"}, f, indent=1)
 
 env = RobotWalkFactory({}).make(args.seed, mt_parity=False)
+
+import copy
+import dataclasses as _dc
+
+
+def env_variant(order):
+    e = copy.copy(env)
+    e.model = _dc.replace(env.model, row_order=order)
+    return e
+
+
+orders = [o for o in args.order_cycle.split(",") if o] or [env.model.row_order]
+solver_meta = {
+    "row_orders": orders,
+    "eval_order": args.eval_order,
+    "eval_order_alt": args.eval_order_alt,
+    "row_dtype": env.model.row_dtype,
+}
+with open(os.path.join(args.out, "config.json"), "w") as f:
+    json.dump({**vars(args), "win_steps": WIN_STEPS, **solver_meta,
+               "env": "robot_walk", "tier": "offpolicy_batched"}, f, indent=1)
 cfg = OffPolicyConfig(
     actor_hidden_size=args.actor_hidden, critic_hidden_size=args.critic_hidden,
     batch_size=args.batch_size, epoch=args.epoch, learning_rate=args.lr,
@@ -74,42 +101,60 @@ cfg = OffPolicyConfig(
     steps_per_iter=args.steps_per_iter, n_envs=args.n_envs,
     buffer_capacity=args.buffer,
 )
-trainer = BatchedOffPolicy(env, args.algo, cfg, seed=args.seed)
-train_step = jax.jit(trainer.train_step_fn())
+trainers = [BatchedOffPolicy(env_variant(o), args.algo, cfg, seed=args.seed)
+            for o in orders]
+trainer = trainers[0]
+train_steps = [jax.jit(t.train_step_fn()) for t in trainers]
 state = trainer.init()
-if args.resume:
+if args.resume_full:
+    state = trainer.load_full(args.resume_full, state)
+    print(f"full-resume from {args.resume_full} at it {int(state.iteration)}",
+          flush=True)
+elif args.resume:
     state = state._replace(carry=trainer.load_carry(args.resume))
-    print(f"resumed params from {args.resume}", flush=True)
+    print(f"resumed params from {args.resume}; refilling the ring for "
+          f"{args.refill_iters} iters (no updates)", flush=True)
+    refill = jax.jit(trainer.train_step_fn(learn=False))
+    for _ in range(args.refill_iters):
+        state, _ = refill(state)
 
-eval_reset = jax.vmap(env.reset)
-eval_step = jax.vmap(env.step)
+
+def make_greedy_eval(order):
+    e = env_variant(order)
+    eval_reset = jax.vmap(e.reset)
+    eval_step = jax.vmap(e.step)
+
+    @jax.jit
+    def greedy_eval(carry, key):
+        actor_params = carry[0]
+        ks = jax.random.split(key, args.eval_envs)
+        est, res = eval_reset(ks)
+
+        def body(c, _):
+            est, obs, alive, steps, ret, won = c
+            mu, _ = actor_apply(actor_params, obs)
+            est, res = eval_step(est, jnp.clip(mu, -1.0, 1.0))
+            valid = res.valid
+            steps = steps + (alive & valid).astype(jnp.int32)
+            ret = ret + jnp.where(alive & valid, res.reward, 0.0)
+            won = won | (alive & valid & res.win)
+            alive = alive & ~(res.done & valid)
+            return (est, res.obs, alive, steps, ret, won), None
+
+        n = args.eval_envs
+        (est, obs, alive, steps, ret, won), _ = jax.lax.scan(
+            body,
+            (est, res.obs, jnp.ones((n,), bool), jnp.zeros((n,), jnp.int32),
+             jnp.zeros((n,)), jnp.zeros((n,), bool)),
+            None, length=WIN_STEPS,
+        )
+        return steps.mean(), ret.mean(), won.mean()
+
+    return greedy_eval
 
 
-@jax.jit
-def greedy_eval(carry, key):
-    actor_params = carry[0]
-    ks = jax.random.split(key, args.eval_envs)
-    est, res = eval_reset(ks)
-
-    def body(c, _):
-        est, obs, alive, steps, ret, won = c
-        mu, _ = actor_apply(actor_params, obs)
-        est, res = eval_step(est, jnp.clip(mu, -1.0, 1.0))
-        valid = res.valid
-        steps = steps + (alive & valid).astype(jnp.int32)
-        ret = ret + jnp.where(alive & valid, res.reward, 0.0)
-        won = won | (alive & valid & res.win)
-        alive = alive & ~(res.done & valid)
-        return (est, res.obs, alive, steps, ret, won), None
-
-    n = args.eval_envs
-    (est, obs, alive, steps, ret, won), _ = jax.lax.scan(
-        body,
-        (est, res.obs, jnp.ones((n,), bool), jnp.zeros((n,), jnp.int32),
-         jnp.zeros((n,)), jnp.zeros((n,), bool)),
-        None, length=WIN_STEPS,
-    )
-    return steps.mean(), ret.mean(), won.mean()
+greedy_eval = make_greedy_eval(args.eval_order)
+greedy_eval_alt = make_greedy_eval(args.eval_order_alt)
 
 
 curve_path = os.path.join(args.out, "curve.csv")
@@ -120,40 +165,62 @@ if new:
     w.writerow([
         "iter", "env_steps", "grad_steps", "wall_s", "r_per_step", "ep_len",
         "win_rate", "actor_loss", "critic_loss", "greedy_len",
-        "greedy_return", "greedy_win",
+        "greedy_return", "greedy_win", "greedy_win_alt",
     ])
+
+
+def save_final(score, it):
+    d = os.path.join(args.out, "save_final")
+    os.makedirs(d, exist_ok=True)
+    trainer.save(d, state)
+    with open(os.path.join(d, "meta.json"), "w") as mf:
+        json.dump({**solver_meta, "greedy_win": score, "iter": it,
+                   "seed": args.seed, "algo": args.algo}, mf, indent=1)
+
+
+best_win = -1.0
 
 t0 = time.time()
 grad_steps = 0
 ekey = jax.random.PRNGKey(args.seed + 777)
 for it in range(1, args.iters + 1):
-    state, m = train_step(state)
+    state, m = train_steps[(it - 1) % len(train_steps)](state)
     if it % 10 == 0 or it == 1:
         mm = jax.tree.map(float, m)
         grad_steps = it * trainer.updates_per_iter * cfg.epoch
-        glen = gret = gwin = ""
+        glen = gret = gwin = gwin_alt = ""
         if it % args.eval_every == 0 or it == 1:
             ekey, sub = jax.random.split(ekey)
             gl, gr, gw = greedy_eval(state.carry, sub)
+            ekey, sub = jax.random.split(ekey)
+            _, _, gw2 = greedy_eval_alt(state.carry, sub)
             glen, gret, gwin = float(gl), float(gr), float(gw)
+            gwin_alt = float(gw2)
+            score = min(gwin, gwin_alt) if args.order_cycle else gwin
+            if score > best_win:
+                best_win = score
+                save_final({"eval_order": gwin, "alt": gwin_alt}, it)
         steps_done = it * cfg.steps_per_iter * cfg.n_envs
         w.writerow([
             it, steps_done, grad_steps, round(time.time() - t0, 1),
             round(mm.mean_reward, 5), round(mm.mean_ep_len, 1),
             round(mm.win_rate, 4), round(mm.actor_loss, 5),
             round((mm.critic_1_loss + mm.critic_2_loss) / 2, 5),
-            glen, gret, gwin,
+            glen, gret, gwin, gwin_alt,
         ])
         f.flush()
         print(
             f"it {it} steps {steps_done:.2e} grad {grad_steps} "
             f"r/step {mm.mean_reward:.4f} ep_len {mm.mean_ep_len:.0f} "
-            f"win {mm.win_rate:.3f} greedy_len {glen} greedy_win {gwin}",
+            f"win {mm.win_rate:.3f} greedy_len {glen} greedy_win {gwin} "
+            f"alt {gwin_alt}",
             flush=True,
         )
     if it % args.save_every == 0 or it == args.iters:
         d = os.path.join(args.out, f"save_{it}")
         os.makedirs(d, exist_ok=True)
         trainer.save(d, state)
+        # rolling exact-resume checkpoint (ring included) for crash recovery
+        trainer.save_full(os.path.join(args.out, "save_latest_full"), state)
 f.close()
 print("DONE")
