@@ -727,7 +727,9 @@ def _n_dyn_contacts(model: PhysicsModel) -> int:
 DEDUP_TOL = 0.01
 
 _get_edges_cached = _model_cache("hull_edges")
-_EDGE_DIRS = 4  # unique edge directions kept per proxy hull
+_EDGE_DIRS = 4  # default unique edge directions kept per proxy hull
+# (model.member_edge_dirs overrides — the fidelity knob quantified in
+# tools/fidelity_mtv.py / PARITY.md "known gaps")
 
 
 def _get_hull_edges(model: PhysicsModel):
@@ -741,9 +743,10 @@ def _get_hull_edges(model: PhysicsModel):
     def compute():
         from scipy.spatial import ConvexHull
 
+        n_dirs = int(getattr(model, "member_edge_dirs", _EDGE_DIRS))
         nb = model.np_hull.shape[0]
-        dirs = np.zeros((nb, _EDGE_DIRS, 3), np.float32)
-        mask = np.zeros((nb, _EDGE_DIRS), np.float32)
+        dirs = np.zeros((nb, n_dirs, 3), np.float32)
+        mask = np.zeros((nb, n_dirs), np.float32)
         for i in range(nb):
             if model.np_hull_mask[i].sum() < 4:
                 continue
@@ -767,7 +770,7 @@ def _get_hull_edges(model: PhysicsModel):
                     else:
                         acc.append([d, ln])
             acc.sort(key=lambda e: -e[1])
-            for j, (dv, _) in enumerate(acc[:_EDGE_DIRS]):
+            for j, (dv, _) in enumerate(acc[:n_dirs]):
                 dirs[i, j] = dv
                 mask[i, j] = 1.0
         return dirs, mask

@@ -179,6 +179,10 @@ class PhysicsModel:
     # Default on — the fidelity configuration; turn off to trade the
     # edge-axis support passes for throughput.
     member_edge_contacts: bool = True
+    # unique edge directions per proxy hull tested by the edge-edge SAT
+    # (cost grows as member_edge_dirs^2 cross axes; tools/fidelity_mtv.py
+    # quantifies accuracy vs this budget)
+    member_edge_dirs: int = 4
     # pallas-sweep ROW VISIT ORDER for non-strict models (strict_bullet
     # always keeps the canonical Bullet order). Values:
     #   "canonical"      — sequential build order (joints | normals | frics)
