@@ -29,7 +29,14 @@ class CrossQAgent(Agent):
     def __init__(
         self, seed, state_space, action_space, actor_hidden_size, critic_hidden_size,
         batch_size, epoch, learning_rate, gamma, replay_buffer_size, train_every,
+        grad_norm_clip=None,
     ):
+        # grad_norm_clip: OPTIONAL training-stability knob with no reference
+        # counterpart (the reference clips only its PPO agents). The r4
+        # CrossQ walker run diverged at ~64M env-steps — critic loss 9.2 ->
+        # NaN within 2 events (runs/walk_r4_crossq_s1234/curve.csv it
+        # 3880-3920) — so long runs pass a clip here; None keeps reference
+        # behavior.
         key = jax.random.PRNGKey(seed)
         ka, k1, k2, self._key = jax.random.split(key, 4)
         self.actor_params = actor_init(ka, state_space, action_space, actor_hidden_size)
@@ -41,7 +48,14 @@ class CrossQAgent(Agent):
         )
         self.entropy_params = {"log_alpha": jnp.zeros((1,))}
 
-        adam = lambda: optax.adam(learning_rate, b1=0.5, b2=0.999)
+        adam = lambda: (
+            optax.adam(learning_rate, b1=0.5, b2=0.999)
+            if grad_norm_clip is None
+            else optax.chain(
+                optax.clip_by_global_norm(grad_norm_clip),
+                optax.adam(learning_rate, b1=0.5, b2=0.999),
+            )
+        )
         self.actor_opt, self.critic_1_opt = adam(), adam()
         self.critic_2_opt, self.entropy_opt = adam(), adam()
         self.actor_opt_state = self.actor_opt.init(self.actor_params)

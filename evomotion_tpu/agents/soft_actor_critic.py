@@ -29,7 +29,9 @@ class SoftActorCriticAgent(Agent):
     def __init__(
         self, seed, state_space, action_space, actor_hidden_size, critic_hidden_size,
         batch_size, epoch, learning_rate, gamma, tau, replay_buffer_size, train_every,
+        grad_norm_clip=None,
     ):
+        # optional stability knob (no reference counterpart; see cross_q.py)
         key = jax.random.PRNGKey(seed)
         ka, k1, k2, self._key = jax.random.split(key, 4)
         self.actor_params = actor_init(ka, state_space, action_space, actor_hidden_size)
@@ -41,10 +43,18 @@ class SoftActorCriticAgent(Agent):
         # EntropyParameter(1.f, 1): alpha starts at 1 -> log_alpha = 0
         self.entropy_params = {"log_alpha": jnp.zeros((1,))}
 
-        self.actor_opt = optax.adam(learning_rate)
-        self.critic_1_opt = optax.adam(learning_rate)
-        self.critic_2_opt = optax.adam(learning_rate)
-        self.entropy_opt = optax.adam(learning_rate)
+        adam = lambda: (
+            optax.adam(learning_rate)
+            if grad_norm_clip is None
+            else optax.chain(
+                optax.clip_by_global_norm(grad_norm_clip),
+                optax.adam(learning_rate),
+            )
+        )
+        self.actor_opt = adam()
+        self.critic_1_opt = adam()
+        self.critic_2_opt = adam()
+        self.entropy_opt = adam()
         self.actor_opt_state = self.actor_opt.init(self.actor_params)
         self.critic_1_opt_state = self.critic_1_opt.init(self.critic_1_params)
         self.critic_2_opt_state = self.critic_2_opt.init(self.critic_2_params)

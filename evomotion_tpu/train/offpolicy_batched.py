@@ -52,6 +52,12 @@ class OffPolicyConfig:
     steps_per_iter: int = 64  # rollout length T per train iteration
     n_envs: int = 1024
     buffer_capacity: int = 262144  # rounded up to a multiple of T*N
+    # optional stability knobs (no reference counterpart — the r4 CrossQ
+    # walker diverged at ~64M steps; see agents/cross_q.py):
+    grad_norm_clip: float | None = None
+    # skip (not apply) any update whose losses come back non-finite — the
+    # parameters stay at their last finite values instead of being poisoned
+    nan_guard: bool = False
 
 
 class Ring(NamedTuple):
@@ -115,6 +121,7 @@ class BatchedOffPolicy:
                 cfg.actor_hidden_size, cfg.critic_hidden_size, cfg.batch_size,
                 cfg.epoch, cfg.learning_rate, cfg.gamma, cfg.tau,
                 replay_buffer_size=1, train_every=cfg.train_every,
+                grad_norm_clip=cfg.grad_norm_clip,
             )
         elif algo == "cross_q":
             from ..agents.cross_q import CrossQAgent
@@ -124,6 +131,7 @@ class BatchedOffPolicy:
                 cfg.actor_hidden_size, cfg.critic_hidden_size, cfg.batch_size,
                 cfg.epoch, cfg.learning_rate, cfg.gamma,
                 replay_buffer_size=1, train_every=cfg.train_every,
+                grad_norm_clip=cfg.grad_norm_clip,
             )
         else:
             raise ValueError(f"unsupported off-policy algo: {algo}")
@@ -250,8 +258,14 @@ class BatchedOffPolicy:
                         ring.obs[idx], ring.action[idx], ring.reward[idx][:, None],
                         ring.done[idx][:, None], ring.next_obs[idx],
                     )
-                    c, losses = update(c, kt, *batch)
-                    return c, losses
+                    c_new, losses = update(c, kt, *batch)
+                    if cfg.nan_guard:
+                        ok = jnp.isfinite(jnp.stack(list(losses))).all()
+                        c_new = jax.tree.map(
+                            lambda a, b: jnp.where(ok, a, b), c_new, c
+                        )
+                        losses = tuple(jnp.where(ok, l, 0.0) for l in losses)
+                    return c_new, losses
 
                 keys = jax.random.split(k_upd, n_events * cfg.epoch)
                 return jax.lax.scan(one_update, carry, keys)

@@ -48,3 +48,26 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "slow" in item.keywords:
             item.add_marker(skip)
+
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spider_walk():
+    """ONE compiled spider robot_walk env shared across the whole session.
+
+    Compiling the 371-obs spider's reset/step on CPU costs minutes; before
+    this fixture every test file (and several tests within a file) rebuilt
+    and recompiled it, which alone blew most of the default gate's
+    wall-clock budget (VERDICT r4 weak #5). Returns (env, jit_reset,
+    jit_step) — tests that can live with the default factory parameters
+    MUST use this instead of constructing RobotWalk()."""
+    import jax
+
+    from evomotion_tpu.envs.robot import RobotWalk
+
+    env = RobotWalk()
+    jit_reset = jax.jit(env.reset)
+    jit_step = jax.jit(env.step)
+    return env, jit_reset, jit_step

@@ -230,12 +230,10 @@ def test_dyn_pairs_without_floor_pairs_match_and_warm_start():
     )
 
 
-def test_row_order_variants_and_shuffled_parent_constraint():
-    """row_order is a model field: canonical / scheduled / shuffled:<seed>
-    all run, stay finite, and agree to solver-iteration tolerance; the
-    shuffled order always visits a friction row after its parent normal."""
-    from evomotion_tpu.physics.engine import _shuffled_order, _solver_meta
-
+@pytest.mark.slow
+def test_row_order_variants_agree():
+    """canonical / scheduled / shuffled:<seed> all run, stay finite, and
+    agree to solver-iteration tolerance (three full step compiles — slow)."""
     base = _contact_model()
     outs = {}
     for order in ("canonical", "scheduled", "shuffled:7"):
@@ -253,10 +251,18 @@ def test_row_order_variants_and_shuffled_parent_constraint():
     np.testing.assert_allclose(outs["canonical"], outs["scheduled"], atol=5e-2)
     np.testing.assert_allclose(outs["canonical"], outs["shuffled:7"], atol=5e-2)
 
-    # parent-before-child invariant of the shuffled generator, on the real
-    # row set of this model
-    from evomotion_tpu.physics.engine import _n_dyn_contacts, n_manifold_pairs
 
+def test_shuffled_order_parent_constraint():
+    """The shuffled row order always visits a friction row after its parent
+    normal (the live mu*lam[parent] clamp), on the real row set."""
+    from evomotion_tpu.physics.engine import (
+        _n_dyn_contacts,
+        _shuffled_order,
+        _solver_meta,
+        n_manifold_pairs,
+    )
+
+    base = _contact_model()
     m = dataclasses.replace(base, row_order="canonical")
     idx6_a, idx6_b, parent, mu, kind_arr, skip_b, perm, groups = _solver_meta(
         m, "full", n_manifold_pairs(m), _n_dyn_contacts(m)
@@ -274,7 +280,8 @@ def test_row_order_variants_and_shuffled_parent_constraint():
     )
 
 
-def test_bf16_rows_close_to_f32():
+@pytest.mark.slow
+def test_bf16_full_path_close_to_f32():
     """row_dtype="bf16" (the throughput default) quantizes only the J
     columns; the step must stay within a bounded deviation of the exact f32
     solve and produce finite state.
@@ -305,7 +312,18 @@ def test_bf16_rows_close_to_f32():
         b = np.asarray(getattr(outs["f32"], name))
         assert np.isfinite(a).all(), name
         np.testing.assert_allclose(a, b, atol=3e-2, err_msg=name)
-    # structural: the bf16 row stream is emitted for m16 and absent for f32
+
+
+def test_bf16_rows_structural_and_kernel_level():
+    """Default-gate half of the bf16 coverage: the bf16 row stream is
+    emitted exactly when row_dtype="bf16" (trace-level, no compile), and
+    materialized bf16 J rows genuinely change the kernel's solve within a
+    bound (one small kernel, cheap compile)."""
+    base = _contact_model()  # row_dtype="f32"
+    m16 = dataclasses.replace(base, row_dtype="bf16")
+    states = _perturbed_states(base, 2)
+    tgt = jnp.zeros((2, base.n_slider))
+    en = jnp.ones((2, base.n_slider), bool)
     jx16 = str(jax.make_jaxpr(
         jax.vmap(lambda s, t, e: physics_step(m16, s, t, e, DT))
     )(states, tgt, en))

@@ -127,12 +127,14 @@ def test_momentum_conservation_free_space():
     assert rel > 1.2
 
 
-@pytest.mark.slow
 def test_strict_mode_trajectory_matches_committed_artifact():
     """Standing strict-Bullet artifact (VERDICT r3 #6): replay the committed
     256-step fixed-seed robot_walk trajectory in strict mode and compare.
     Solver changes that move the parity configuration show up as a diff
-    here; regenerate deliberately with tools/gen_strict_artifact.py."""
+    here; regenerate deliberately with tools/gen_strict_artifact.py.
+
+    Runs in the DEFAULT gate (ADVICE r4): a solver change that moves the
+    parity configuration must not land behind a green default gate."""
     import os
     import sys
 

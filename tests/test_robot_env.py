@@ -14,19 +14,16 @@ import pytest
 from evomotion_tpu.envs.robot import RobotJump, RobotWalk, RobotWalkFactory
 
 
-@pytest.fixture(scope="module")
-def walk_env():
-    return RobotWalk()
-
-
-def test_spaces(walk_env):
+def test_spaces(spider_walk):
+    walk_env = spider_walk[0]
     assert walk_env.observation_size == 371
     assert walk_env.action_size == 12
     assert walk_env.settle_total == 60  # two settle loops of 30
 
 
-def test_reset_and_obs_sane(walk_env):
-    state, res = jax.jit(walk_env.reset)(jax.random.PRNGKey(0))
+def test_reset_and_obs_sane(spider_walk):
+    walk_env, jit_reset, _ = spider_walk
+    state, res = jit_reset(jax.random.PRNGKey(0))
     obs = np.asarray(res.obs)
     assert obs.shape == (371,)
     assert not np.isnan(obs).any()
@@ -114,20 +111,21 @@ def test_robot_walk_strict_bullet_runs_stably():
     assert np.abs(np.asarray(state.physics.lin_vel)).max() < 20.0
 
 
-def test_nan_explosion_fails_and_recovers():
+def test_nan_explosion_fails_and_recovers(spider_walk):
     """Non-finite guard: if the physics state goes NaN (policy-driven
     contact explosion), the episode must FAIL with sanitized obs/reward —
     NaN compares False everywhere, so without the guard the time bank never
     drains and one poisoned env never terminates (observed in the r4 CrossQ
-    run) — and the auto-reset must return the env to a clean, finite state."""
-    env = RobotWalkFactory({"reset_frames": "3"}).make(3, mt_parity=False)
-    state, res = jax.jit(env.reset)(jax.random.PRNGKey(3))
+    run) — and the auto-reset must return the env to a clean, finite state.
+    Uses the shared session env/step (compiling a second spider env cost
+    this test 216 s of the default gate)."""
+    env, jit_reset, step = spider_walk
+    state, res = jit_reset(jax.random.PRNGKey(3))
     # poison the root body's velocity
     bad_phys = state.physics._replace(
         lin_vel=state.physics.lin_vel.at[env.meta.root_body].set(jnp.nan)
     )
     state = state._replace(physics=bad_phys)
-    step = jax.jit(env.step)
     state, res = step(state, jnp.zeros((12,)))
     obs = np.asarray(res.obs)
     assert not np.isnan(obs).any(), "guard must sanitize the emitted obs"
@@ -136,7 +134,7 @@ def test_nan_explosion_fails_and_recovers():
     # NaN actions must not poison the persistent motor target
     state, res = step(state, jnp.full((12,), jnp.nan))
     # run through the settle phase; the env must come back finite
-    for _ in range(10):
+    for _ in range(env.settle_total + 5):
         state, res = step(state, jnp.zeros((12,)))
     assert not np.isnan(np.asarray(res.obs)).any()
     assert not np.isnan(np.asarray(state.physics.pos)).any()

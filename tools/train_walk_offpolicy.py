@@ -67,6 +67,9 @@ p.add_argument("--order-cycle", default="",
                help="comma list of solver row orders cycled per iteration")
 p.add_argument("--eval-order", default="canonical")
 p.add_argument("--eval-order-alt", default="scheduled")
+p.add_argument("--grad-clip", type=float, default=None,
+               help="optional global grad-norm clip (r4 CrossQ diverged "
+                    "at ~64M steps without one)")
 args = p.parse_args()
 
 WIN_STEPS = 1800
@@ -99,7 +102,8 @@ cfg = OffPolicyConfig(
     batch_size=args.batch_size, epoch=args.epoch, learning_rate=args.lr,
     gamma=args.gamma, tau=args.tau, train_every=args.train_every,
     steps_per_iter=args.steps_per_iter, n_envs=args.n_envs,
-    buffer_capacity=args.buffer,
+    buffer_capacity=args.buffer, grad_norm_clip=args.grad_clip,
+    nan_guard=True,
 )
 trainers = [BatchedOffPolicy(env_variant(o), args.algo, cfg, seed=args.seed)
             for o in orders]
