@@ -72,6 +72,22 @@ p.add_argument("--grad-clip", type=float, default=None,
                     "at ~64M steps without one)")
 args = p.parse_args()
 
+def _retry(fn, *a, what="step", tries=3, wait=15.0):
+    """Retry transient remote-TPU failures (the axon tunnel occasionally
+    drops a compile RPC: 'response body closed before all bytes were
+    read'); with the persistent compile cache a retry is cheap. Raises
+    after `tries` failures."""
+    for attempt in range(tries):
+        try:
+            return fn(*a)
+        except Exception as e:  # noqa: BLE001 - transient RPC layer
+            if attempt == tries - 1:
+                raise
+            print(f"{what} failed ({e}); retry {attempt + 1}/{tries - 1}",
+                  flush=True)
+            time.sleep(wait)
+
+
 WIN_STEPS = 1800
 os.makedirs(args.out, exist_ok=True)
 
@@ -188,16 +204,16 @@ t0 = time.time()
 grad_steps = 0
 ekey = jax.random.PRNGKey(args.seed + 777)
 for it in range(1, args.iters + 1):
-    state, m = train_steps[(it - 1) % len(train_steps)](state)
+    state, m = _retry(train_steps[(it - 1) % len(train_steps)], state, what=f"train it {it}")
     if it % 10 == 0 or it == 1:
         mm = jax.tree.map(float, m)
         grad_steps = it * trainer.updates_per_iter * cfg.epoch
         glen = gret = gwin = gwin_alt = ""
         if it % args.eval_every == 0 or it == 1:
             ekey, sub = jax.random.split(ekey)
-            gl, gr, gw = greedy_eval(state.carry, sub)
+            gl, gr, gw = _retry(greedy_eval, state.carry, sub, what="eval")
             ekey, sub = jax.random.split(ekey)
-            _, _, gw2 = greedy_eval_alt(state.carry, sub)
+            _, _, gw2 = _retry(greedy_eval_alt, state.carry, sub, what="eval_alt")
             glen, gret, gwin = float(gl), float(gr), float(gw)
             gwin_alt = float(gw2)
             score = min(gwin, gwin_alt) if args.order_cycle else gwin
