@@ -17,9 +17,20 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# persistent XLA compilation cache: the gate's wall-clock is dominated by
+# interpret-mode pallas + spider-model compiles that are identical from run
+# to run; caching them makes every gate after the first several times
+# faster (the cache lives outside the repo and survives clones)
+cache_dir = os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "evomotion_jax"),
+)
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def pytest_configure(config):

@@ -93,9 +93,14 @@ def test_dp_offpolicy_train_step_over_8_devices(algo):
     assert int(state.iteration) == 3
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("algo", ["soft_actor_critic", "cross_q"])
 def test_dp_offpolicy_matches_single_device(algo):
-    """The sharded off-policy step equals the unsharded step numerically."""
+    """The sharded off-policy step equals the unsharded step numerically.
+
+    Slow-marked (~65 s for the pair): the default gate keeps the 8-device
+    sharded-train-step smoke tests; this exact-equality pass runs with
+    --runslow."""
     from evomotion_tpu.parallel.mesh import make_env_mesh, shard_train_state
 
     trainer = _offpolicy_trainer(algo)
