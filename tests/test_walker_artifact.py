@@ -1,0 +1,112 @@
+"""Committed walker artifact: majority wins + solver-order robustness.
+
+VERDICT r4 next #1/#3: the flagship trained checkpoint must be tracked in
+git (the reference ships `resources/robot_walk_crossq_save_34/` —
+`/root/reference/resources/`), and its gait must NOT be overfit to solver
+micro-order (r4's policies scored 17/64 under one row order and 0/64 under
+the solver's equally-valid canonical order).
+
+Two layers:
+- default gate: the committed `save_final/meta.json` (written by
+  tools/train_walk.py from a real 64-env greedy eval over the full
+  1800-step win horizon, under BOTH the primary and the alternative row
+  order) must record a win rate > 0.15 under each order.
+- slow gate: actually replay the committed policy on this machine for a
+  short horizon under both orders and require the robot to stay upright —
+  a from-scratch behavioural check that does not trust meta.json.
+"""
+
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+
+# the flagship run family; train_walk.py keeps save_final/ as the rolling
+# best-greedy checkpoint scored by min(win, win_alt) across row orders
+_METAS = sorted(glob.glob(os.path.join(ROOT, "runs", "walk_r5*", "save_final", "meta.json")))
+
+
+def _flagship():
+    if not _METAS:
+        pytest.skip("no committed walk_r5*/save_final artifact yet")
+    best = None
+    for mp in _METAS:
+        with open(mp) as f:
+            meta = json.load(f)
+        gw = meta.get("greedy_win") or {}
+        score = min(float(gw.get("eval_order", 0.0)), float(gw.get("alt", 0.0)))
+        if best is None or score > best[1]:
+            best = (mp, score, meta)
+    return best
+
+
+def test_committed_walker_is_order_robust_per_meta():
+    mp, score, meta = _flagship()
+    gw = meta["greedy_win"]
+    assert float(gw["eval_order"]) > 0.15, (mp, gw)
+    assert float(gw["alt"]) > 0.15, (
+        f"{mp}: gait overfits the {meta.get('eval_order')} row order "
+        f"(alt order {meta.get('eval_order_alt')} win {gw['alt']})"
+    )
+
+
+@pytest.mark.slow
+def test_committed_walker_stays_upright_under_both_orders():
+    import dataclasses
+
+    from evomotion_tpu.envs.robot import RobotWalkFactory
+    from evomotion_tpu.networks.modules import actor_apply, actor_init
+    from evomotion_tpu.train.checkpoint import load_component
+
+    mp, score, meta = _flagship()
+    ckpt = os.path.dirname(mp)
+    horizon, n = 400, 8
+
+    for order in (meta["eval_order"], meta["eval_order_alt"]):
+        env = RobotWalkFactory({}).make(999, mt_parity=False)
+        env.model = dataclasses.replace(env.model, row_order=order)
+        template = actor_init(
+            jax.random.PRNGKey(0), env.observation_size, env.action_size, 256
+        )
+        params = load_component(ckpt, "train_actor_params", template)
+        s = env.observation_size
+        mean = load_component(ckpt, "train_obs_mean", jnp.zeros((s,)))
+        var = load_component(ckpt, "train_obs_var", jnp.ones((s,)))
+        count = load_component(ckpt, "train_obs_count", jnp.float32(0.0))
+
+        reset = jax.vmap(env.reset)
+        step = jax.vmap(env.step)
+
+        @jax.jit
+        def run(key):
+            est, res = reset(jax.random.split(key, n))
+
+            def body(c, _):
+                est, obs, alive, steps = c
+                obs_in = (
+                    (obs - mean) * jax.lax.rsqrt(var + 1e-8)
+                    if float(count) > 0.5 else obs
+                )
+                mu, _ = actor_apply(params, obs_in)
+                est, res = step(est, jnp.clip(mu, -1.0, 1.0))
+                steps = steps + (alive & res.valid).astype(jnp.int32)
+                alive = alive & ~(res.done & res.valid)
+                return (est, res.obs, alive, steps), None
+
+            (_, _, alive, steps), _ = jax.lax.scan(
+                body,
+                (est, res.obs, jnp.ones((n,), bool), jnp.zeros((n,), jnp.int32)),
+                None, length=horizon,
+            )
+            return steps
+
+        steps = np.asarray(run(jax.random.PRNGKey(7)))
+        # a falling gait dies in ~100-150 steps (r4 eval: median ep_len 129);
+        # an order-robust walker should keep most episodes alive well beyond
+        assert steps.mean() > 200, (order, steps.tolist())
