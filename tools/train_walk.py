@@ -77,6 +77,11 @@ p.add_argument("--save-every", type=int, default=250)
 p.add_argument("--eval-envs", type=int, default=64)
 p.add_argument("--order-cycle", default="",
                help="comma list of row orders cycled per iteration")
+p.add_argument("--order-block", type=int, default=1,
+               help="iterations per row order before cycling to the next "
+                    "(block cycling: per-iteration switching makes the "
+                    "physics non-stationary every update and measurably "
+                    "slows early learning)")
 p.add_argument("--eval-order", default="canonical",
                help="row order for the primary greedy eval")
 p.add_argument("--eval-order-alt", default="scheduled",
@@ -204,7 +209,9 @@ best_win = -1.0
 t0 = time.time()
 ekey = jax.random.PRNGKey(args.seed + 777)
 for it in range(1, args.iters + 1):
-    state, m = _retry(train_steps[(it - 1) % len(train_steps)], state, what=f"train it {it}")
+    state, m = _retry(
+        train_steps[((it - 1) // args.order_block) % len(train_steps)],
+        state, what=f"train it {it}")
     if it % 10 == 0 or it == 1:
         mm = jax.tree.map(float, m)
         glen = gret = gwin = gwin_alt = ""
