@@ -183,6 +183,17 @@ class PhysicsModel:
     # (cost grows as member_edge_dirs^2 cross axes; tools/fidelity_mtv.py
     # quantifies accuracy vs this budget)
     member_edge_dirs: int = 4
+    # batched-path broadphase cull: run the member SAT narrowphase only on
+    # the member_topm pairs with smallest conservative clearance (center
+    # distance minus bounding radii) per env, scattering manifolds back to
+    # canonical pair slots. Bullet narrowphases only broadphase-overlapping
+    # AABB pairs (btDbvtBroadphase feeding the dispatcher manifolds that
+    # item.cpp:17-52 reads); the dense batched mirror paid all P pairs per
+    # env per step. 0 disables (dense). Physics is UNCHANGED as long as
+    # every pair with an active contact ranks in the top M — unselected
+    # pairs produce the same zero rows the dense path gives beyond-margin
+    # pairs (equality pinned by tests/test_batched_step.py).
+    member_topm: int = 0
     # pallas-sweep ROW VISIT ORDER for non-strict models (strict_bullet
     # always keeps the canonical Bullet order). Values:
     #   "canonical"      — sequential build order (joints | normals | frics)

@@ -118,6 +118,14 @@ def compile_robot(
         muscle_speed.append(mu.speed)
 
     model = b.finalize()
+    if len(model.dyn_pair_body) > 48:
+        # robots are the only models with enough member pairs for the dense
+        # narrowphase to dominate step time; cull to the 48 closest pairs
+        # per env (the spider never has more than ~2 dozen members within
+        # reach — physics unchanged, see PhysicsModel.member_topm)
+        import dataclasses as _dc
+
+        model = _dc.replace(model, member_topm=48)
 
     # ctor-time contactPairTest quirk (proprioception_state.cpp:17-18): the
     # floor-touched flag is set once at construction and never again; compute

@@ -366,3 +366,54 @@ def test_bf16_rows_structural_and_kernel_level():
     )
     d = float(jnp.max(jnp.abs(o32[0] - o16[0])))
     assert 0.0 < d < 0.3  # rounding engages, bounded
+
+
+def _cluster_model(**over):
+    """Six dynamic boxes over a floor: a tight 3-box cluster (touching) plus
+    three isolated far boxes => 15 dyn pairs of which only the cluster's 3
+    can ever be active. Exercises member_topm's per-env selection."""
+    b = ModelBuilder()
+    ident = (0.0, 0.0, 0.0, 1.0)
+    b.add_body("floor", _cube(), (30, 1, 30), 0.0, (0, -1, 0), ident, friction=0.5)
+    tilt = (0.0, 0.19866933, 0.0, 0.98006658)
+    b.add_body("c0", _cube(), (0.4, 0.3, 0.4), 1.0, (0, 0.0, 0), ident, friction=0.6)
+    b.add_body("c1", _cube(), (0.3, 0.3, 0.3), 2.0, (0.1, 0.25, 0.05), tilt, friction=0.4)
+    b.add_body("c2", _cube(), (0.35, 0.2, 0.3), 1.5, (-0.15, 0.45, -0.1), ident, friction=0.5)
+    b.add_body("f0", _cube(), (0.3, 0.3, 0.3), 1.0, (5, 0.0, 5), ident)
+    b.add_body("f1", _cube(), (0.3, 0.3, 0.3), 1.0, (-5, 0.0, 5), tilt)
+    b.add_body("f2", _cube(), (0.3, 0.3, 0.3), 1.0, (5, 0.0, -5), ident)
+    return dataclasses.replace(
+        b.finalize(), solver="pallas", member_contacts=True, row_dtype="f32",
+        **over,
+    )
+
+
+def test_member_topm_matches_dense():
+    """Top-M broadphase cull (model.member_topm) must not change physics:
+    unselected pairs produce the same zero rows the dense path gives
+    beyond-margin pairs. Trajectory-level equality, warm-start caches
+    included (dyn_vid is allowed to differ on inactive slots: the dense
+    path stores real feature ids for far pairs, the culled path -1; both
+    carry lambda=0 there so the warm start is identical)."""
+    dense = _cluster_model()
+    culled = _cluster_model(member_topm=6)
+    assert len(dense.dyn_pair_body) == 15
+
+    states = _perturbed_states(dense, 3)
+    tgt = jnp.zeros((3, 0))
+    en = jnp.ones((3, 0), bool)
+    step_d = jax.jit(jax.vmap(lambda s, t, e: physics_step(dense, s, t, e, DT)))
+    step_c = jax.jit(jax.vmap(lambda s, t, e: physics_step(culled, s, t, e, DT)))
+
+    sd = sc = states
+    saw_member_contact = False
+    for _ in range(5):
+        sd, _ = step_d(sd, tgt, en)
+        sc, _ = step_c(sc, tgt, en)
+        for name in ("pos", "quat", "lin_vel", "ang_vel", "dyn_lambda"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sd, name)), np.asarray(getattr(sc, name)),
+                atol=1e-5, err_msg=name,
+            )
+        saw_member_contact |= bool(np.abs(np.asarray(sd.dyn_lambda)).sum() > 0)
+    assert saw_member_contact  # the cluster really collides
