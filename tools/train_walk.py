@@ -222,8 +222,14 @@ for it in range(1, args.iters + 1):
             _, _, gw2 = _retry(greedy_eval_alt, state, sub, what="eval_alt")
             glen, gret, gwin = float(gl), float(gr), float(gw)
             gwin_alt = float(gw2)
-            # rolling best-greedy checkpoint -> the COMMITTED artifact
-            score = min(gwin, gwin_alt) if args.order_cycle else gwin
+            # rolling best-greedy checkpoint -> the COMMITTED artifact.
+            # Selection is by the PRIMARY order's win rate: r5 finding
+            # (runs/WALK_R5.md) is that win-rate transfer to a second solve
+            # order is near zero however the cycle is weighted, so a
+            # min(primary, alt) score degenerates to "first eval wins" and
+            # never updates. The alt-order score is still measured and
+            # recorded in meta.json for the robustness report.
+            score = gwin
             if score > best_win:
                 best_win = score
                 save_ckpt(os.path.join(args.out, "save_final"),
