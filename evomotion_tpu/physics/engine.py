@@ -51,7 +51,10 @@ Structural notes (not removed by strict mode):
   friction-after-parent order (gait-robustness training), "canonical"
   keeps the sequential build order;
 - member-member manifolds are up-to-K=4 SAT contacts per pair on decimated
-  proxy hulls vs Bullet's GJK/EPA manifolds (see _dyn_narrowphase).
+  proxy hulls vs Bullet's GJK/EPA manifolds (see _dyn_narrowphase). On the
+  batched backend, models with member_topm > 0 narrowphase only the top-M
+  smallest-clearance pairs per env (Bullet's broadphase gate, batched);
+  trajectories are unchanged — see batched._dyn_narrowphase_sel.
 """
 
 from __future__ import annotations
