@@ -36,8 +36,16 @@ def _roofline_seconds(model, n_envs: int) -> float:
     bf16 = (
         getattr(model, "row_dtype", "f32") == "bf16" and not model.strict_bullet
     )
-    row_bytes = nr_pad * sp.row_bytes(jnp.bfloat16 if bf16 else jnp.float32) * n_envs
-    bytes_per_step = row_bytes * (model.n_iterations + 1) * 1.2  # +20% rest
+    j_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    row_bytes = nr_pad * sp.row_bytes(j_dtype) * n_envs
+    # VMEM-resident rows (solver_pallas.resident_rows_enabled): rows are
+    # written once by the builder and read ONCE into VMEM; streaming mode
+    # re-reads them every solver iteration
+    n_stream = (
+        2 if sp.resident_rows_enabled(nr_pad, j_dtype, model.n_bodies * 6)
+        else model.n_iterations + 1
+    )
+    bytes_per_step = row_bytes * n_stream * 1.2  # +20% rest
     return bytes_per_step / (_HBM_GBPS * 1e9)
 
 

@@ -31,6 +31,7 @@ push velocities) by being invoked with a different row list.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,10 +50,11 @@ _RHSP = 28
 # slim env-last layout: TWO arrays per row — J columns (12 floats, bf16 or
 # f32 per model.row_dtype) and f32 scalars (rhs, lo, hi, rhs_push). Minv*J^T
 # and 1/(J Minv J^T) are recomputed in-kernel from a VMEM-resident world
-# inverse-inertia tile + static per-row inverse masses: the sweep streams the
-# row arrays from HBM once PER SOLVER ITERATION, so their width is the
-# kernel's bandwidth bill (29 f32 -> 16 f32 = -45%; bf16 J -> 40 B/row =
-# another -37.5%). Row gating (contact active flags, disabled friction dirs)
+# inverse-inertia tile + static per-row inverse masses: in streaming mode the
+# sweep reads the row arrays from HBM once PER SOLVER ITERATION, so their
+# width is the kernel's bandwidth bill (29 f32 -> 16 f32 = -45%; bf16 J ->
+# 40 B/row = another -37.5%); when the row set fits VMEM
+# (resident_rows_enabled) it is loaded ONCE and iterations re-read VMEM. Row gating (contact active flags, disabled friction dirs)
 # is folded into J: a zeroed J gives eff = 0 -> ie = 0 -> delta = 0,
 # identical to the old ie*act convention.
 ROW_J = 12
@@ -68,6 +70,20 @@ def row_bytes(j_dtype) -> int:
 
 
 ROW_BYTES = row_bytes(jnp.float32)
+
+
+def resident_rows_enabled(nr_pad: int, j_dtype, nb6: int) -> bool:
+    """True when the slim sweep will hold the whole row set VMEM-resident
+    (rows DMA'd once; solver iterations never re-stream HBM). Decision =
+    EVOMOTION_RESIDENT_ROWS (auto/1/0); auto admits the configuration when
+    row scratch + pipelined I/O tiles fit a 116 MB budget of the chip's
+    128 MB VMEM. Shared with bench.py so the roofline accounting follows
+    the DMA schedule actually compiled."""
+    nb9 = nb6 // 6 * 9
+    scratch = nr_pad * (ROW_J * jnp.dtype(j_dtype).itemsize + ROW_S * 4) * TILE
+    io = (2 * nr_pad + 3 * nb6 + nb9) * 4 * TILE
+    env = os.environ.get("EVOMOTION_RESIDENT_ROWS", "auto")
+    return env == "1" or (env == "auto" and scratch + 2 * io <= 116 * 2**20)
 
 LANE = 128
 SUB = 8
@@ -522,9 +538,19 @@ def solver_sweep_envlast_slim(
     assert row_j.shape[1] == ROW_J, row_j.shape
     assert row_s.shape == (nr_pad, ROW_S, b), (row_s.shape, row_j.shape)
     assert b % TILE == 0, f"batch {b} must be a multiple of {TILE}"
-    assert nr_pad % (chunk * n_buf) == 0, (nr_pad, chunk, n_buf)
     g = b // TILE
     n_chunks = nr_pad // chunk
+
+    # VMEM-resident rows (EVOMOTION_RESIDENT_ROWS=auto/1/0): when the whole
+    # per-tile row set + I/O tiles fit the chip's VMEM, give every chunk a
+    # dedicated slot and load rows ONCE instead of once per solver iteration
+    # — the stream is the kernel's dominant HBM traffic (n_iters x ~78 MB
+    # per tile for the spider at bf16).
+    nb9 = nb6 // 6 * 9
+    resident = resident_rows_enabled(nr_pad, row_j.dtype, nb6)
+    if resident:
+        n_buf = n_chunks
+    assert nr_pad % (chunk * n_buf) == 0, (nr_pad, chunk, n_buf)
 
     nr = n_rows
     if kind is None:
@@ -555,10 +581,9 @@ def solver_sweep_envlast_slim(
             rowj_r, rows_r, vel_r.at[0], lam_r.at[0], ii_r.at[0], velo_r.at[0],
             lamo_r.at[0], pvo_r.at[0], buf_j, buf_s, plam, sem_j, sem_s,
             meta=meta, n_iters=n_iters, chunk=chunk, n_chunks=n_chunks,
-            n_buf=n_buf, groups=groups,
+            n_buf=n_buf, groups=groups, resident=resident,
         )
 
-    nb9 = nb6 // 6 * 9
     # VMEM budget at large row counts (K=4 member manifolds -> ~1.9k rows,
     # lam tile ~7.9 MB x in+out = ~24 MB scoped): the push-velocity output
     # doubles as its own accumulator (no pv scratch) and the kernel raises
@@ -609,7 +634,9 @@ def solver_sweep_envlast_slim(
             pltpu.SemaphoreType.DMA((n_buf,)),
             pltpu.SemaphoreType.DMA((n_buf,)),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(127 if resident else 100) * 1024 * 1024
+        ),
         interpret=interpret,
     )(rj, rs, v, l0, ii)
 
@@ -625,7 +652,7 @@ def _sweep_kernel_envlast_slim(
     rows_hbm,  # [NR_pad, ROW_S, G, SUB, LANE] in ANY/HBM (f32)
     vel_in, lam_in, ii_in, vel_out, lam_out, pv, # VMEM tile views
     buf_j, buf_s, plam, sem_j, sem_s,
-    *, meta, n_iters, chunk, n_chunks, n_buf, groups=None,
+    *, meta, n_iters, chunk, n_chunks, n_buf, groups=None, resident=False,
 ):
     """Slim-row sweep: streams 12 J values (bf16 or f32) + 4 f32 scalars per
     row, recomputes dv and 1/eff from the VMEM inverse-inertia tile (ii_in,
@@ -633,7 +660,15 @@ def _sweep_kernel_envlast_slim(
     in structure to :func:`_sweep_kernel_envlast` (fused velocity +
     split-impulse passes). vel/lam inputs are aliased onto the outputs and
     the push-velocity output (pv) doubles as its own accumulator — VMEM
-    budget, see the caller."""
+    budget, see the caller.
+
+    resident=True (n_buf == n_chunks): every chunk gets a dedicated VMEM
+    slot, the whole row set is DMA'd ONCE (windowed issue, ~0.1 ms for the
+    spider's ~78 MB tile), and all n_iters solver iterations then read rows
+    from VMEM — the per-iteration HBM re-stream (the kernel's dominant
+    traffic, n_iters x rows) disappears. Streaming mode (default) is the
+    fallback when the row set does not fit the VMEM budget (f32 rows /
+    strict mode / very large models)."""
     tile = pl.program_id(0)
 
     vel_out[...] = vel_in[...]
@@ -663,9 +698,6 @@ def _sweep_kernel_envlast_slim(
         a.wait()
         b_.wait()
 
-    for w in range(n_buf - 1):
-        dma_start(w, w)
-
     def matvec(ii, jang):
         # [9, SUB, LANE] row-major 3x3 times [3, SUB, LANE]
         return jnp.stack(
@@ -686,13 +718,8 @@ def _sweep_kernel_envlast_slim(
         for st, sz in groups:
             chunk_groups[st // chunk].append((st % chunk, sz))
 
-    def iter_body(_, carry):
-        for c in range(n_chunks):
-            nxt = (c + n_buf - 1) % n_chunks
-            dma_start(nxt % n_buf, nxt)
-            dma_wait(c % n_buf, c)
-            slot = c % n_buf
-            for g_off, g_size in chunk_groups[c]:
+    def process(c, slot):
+        for g_off, g_size in chunk_groups[c]:
                 # --- LOAD/COMPUTE phase: rows in one group touch pairwise
                 # disjoint bodies (engine._schedule_rows), so all their
                 # velocity loads are independent of this group's stores —
@@ -766,9 +793,37 @@ def _sweep_kernel_envlast_slim(
                         pv[ia6:ia6 + 6] = pva + dva * dp[None]
                         if not skip_b_r:
                             pv[ib6:ib6 + 6] = pvb + dvb * dp[None]
-        return carry
 
-    jax.lax.fori_loop(0, n_iters, iter_body, 0)
+    if resident:
+        # one-shot windowed load of ALL chunks into dedicated slots; the
+        # solver iterations then never touch HBM for rows
+        window = min(16, n_chunks)
+        for w in range(window):
+            dma_start(w, w)
+        for c in range(n_chunks):
+            dma_wait(c, c)
+            if c + window < n_chunks:
+                dma_start(c + window, c + window)
 
-    for w in range(n_buf - 1):
-        dma_wait(w, w)
+        def iter_body(_, carry):
+            for c in range(n_chunks):
+                process(c, c)
+            return carry
+
+        jax.lax.fori_loop(0, n_iters, iter_body, 0)
+    else:
+        for w in range(n_buf - 1):
+            dma_start(w, w)
+
+        def iter_body(_, carry):
+            for c in range(n_chunks):
+                nxt = (c + n_buf - 1) % n_chunks
+                dma_start(nxt % n_buf, nxt)
+                dma_wait(c % n_buf, c)
+                process(c, c % n_buf)
+            return carry
+
+        jax.lax.fori_loop(0, n_iters, iter_body, 0)
+
+        for w in range(n_buf - 1):
+            dma_wait(w, w)

@@ -417,3 +417,32 @@ def test_member_topm_matches_dense():
             )
         saw_member_contact |= bool(np.abs(np.asarray(sd.dyn_lambda)).sum() > 0)
     assert saw_member_contact  # the cluster really collides
+
+
+def test_resident_rows_bit_equal_to_streaming(monkeypatch):
+    """VMEM-resident row mode (EVOMOTION_RESIDENT_ROWS=1: rows DMA'd once,
+    all solver iterations read VMEM) must be BIT-identical to the streaming
+    schedule — same row arithmetic in the same order, only the DMA pattern
+    differs. Mirrors Bullet's solver whose constraint rows live in cache for
+    all iterations (btSequentialImpulseConstraintSolver)."""
+    model = _contact_model()
+    states = _perturbed_states(model, 3)
+    tgt = jnp.zeros((3, 0))
+    en = jnp.ones((3, 0), bool)
+
+    def run(flag):
+        monkeypatch.setenv("EVOMOTION_RESIDENT_ROWS", flag)
+        # fresh trace per flag: the env var is read at trace time
+        step = jax.jit(jax.vmap(lambda s, t, e: physics_step(model, s, t, e, DT)))
+        s = states
+        for _ in range(3):
+            s, _ = step(s, tgt, en)
+        return s
+
+    s_res = run("1")
+    s_str = run("0")
+    for name in ("pos", "quat", "lin_vel", "ang_vel", "contact_lambda"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s_res, name)), np.asarray(getattr(s_str, name)),
+            err_msg=name,
+        )
