@@ -628,11 +628,17 @@ def solver_sweep_envlast_slim(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_buf, chunk, ROW_J, SUB, LANE), j_dtype),
-            pltpu.VMEM((n_buf, chunk, ROW_S, SUB, LANE), jnp.float32),
+            pltpu.VMEM(
+                (nr_pad, ROW_J, SUB, LANE) if resident
+                else (n_buf, chunk, ROW_J, SUB, LANE), j_dtype,
+            ),
+            pltpu.VMEM(
+                (nr_pad, ROW_S, SUB, LANE) if resident
+                else (n_buf, chunk, ROW_S, SUB, LANE), jnp.float32,
+            ),
             pltpu.VMEM((n_push, SUB, LANE), jnp.float32),  # push impulses
-            pltpu.SemaphoreType.DMA((n_buf,)),
-            pltpu.SemaphoreType.DMA((n_buf,)),
+            pltpu.SemaphoreType.DMA((1 if resident else n_buf,)),
+            pltpu.SemaphoreType.DMA((1 if resident else n_buf,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(127 if resident else 100) * 1024 * 1024
@@ -732,8 +738,12 @@ def _sweep_kernel_envlast_slim(
                         continue
                     (ia6, ib6, kind_r, mu_r, parent_r, skip_b_r, pslot,
                      im_a, im_b) = meta[rid]
-                    rd = buf_j[slot, r].astype(jnp.float32)  # [ROW_J, SUB, LANE]
-                    rs = buf_s[slot, r]  # [ROW_S, SUB, LANE]
+                    if resident:  # flat [NR_pad, ROW_*, SUB, LANE] buffers
+                        rd = buf_j[rid].astype(jnp.float32)
+                        rs = buf_s[rid]
+                    else:
+                        rd = buf_j[slot, r].astype(jnp.float32)  # [ROW_J, SUB, LANE]
+                        rs = buf_s[slot, r]  # [ROW_S, SUB, LANE]
                     ia9 = ia6 // 6 * 9
                     dva = jnp.concatenate(
                         [im_a * rd[0:3], matvec(ii_in[ia9:ia9 + 9], rd[3:6])],
@@ -795,15 +805,20 @@ def _sweep_kernel_envlast_slim(
                             pv[ib6:ib6 + 6] = pvb + dvb * dp[None]
 
     if resident:
-        # one-shot windowed load of ALL chunks into dedicated slots; the
-        # solver iterations then never touch HBM for rows
-        window = min(16, n_chunks)
-        for w in range(window):
-            dma_start(w, w)
-        for c in range(n_chunks):
-            dma_wait(c, c)
-            if c + window < n_chunks:
-                dma_start(c + window, c + window)
+        # ONE strided DMA per row array (flat [NR_pad, ROW_*, SUB, LANE]
+        # buffers, 2 semaphores total — a semaphore per chunk overflows the
+        # chip's tiny sflag memory space); the solver iterations then never
+        # touch HBM for rows
+        cp_j = pltpu.make_async_copy(
+            rowj_hbm.at[:, :, tile], buf_j, sem_j.at[0]
+        )
+        cp_s = pltpu.make_async_copy(
+            rows_hbm.at[:, :, tile], buf_s, sem_s.at[0]
+        )
+        cp_j.start()
+        cp_s.start()
+        cp_j.wait()
+        cp_s.wait()
 
         def iter_body(_, carry):
             for c in range(n_chunks):
